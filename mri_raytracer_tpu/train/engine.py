@@ -1,0 +1,157 @@
+"""Training orchestrator (reference T1 ``train_inr``, rebuilt TPU-native).
+
+Pipeline: config -> case discovery/split -> host cache -> device pool ->
+model init -> optimizer/schedule -> fully-jitted step loop (sampling + grad
+accumulation + update all on device) -> periodic checkpoints -> evaluation ->
+final object checkpoint + JSON sidecar + logging.
+
+Differences from the reference, by design:
+  * the hot loop makes zero host->device transfers besides the RNG key; the
+    pool refresh (every ``pool_refresh`` steps) is the only bulk transfer;
+  * data parallelism is a config switch (``data_parallel > 1``) that shards
+    micro-batches over a ``Mesh`` axis via shard_map + gradient pmean —
+    see ``parallel/``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_raytracer_tpu.config import TrainConfig
+from mri_raytracer_tpu.data import cache as cache_mod
+from mri_raytracer_tpu.data import pool as pool_mod
+from mri_raytracer_tpu.data import sampling
+from mri_raytracer_tpu.eval import inference
+from mri_raytracer_tpu.io import checkpoint as ckpt
+from mri_raytracer_tpu.io.logging import RunLogger
+from mri_raytracer_tpu.models.api import build_model
+from mri_raytracer_tpu.train import optimizers, steps
+
+
+def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = None,
+              resume_from: Optional[str] = None) -> Dict[str, Any]:
+    """Train an INR; returns a state dict with params, metrics and paths.
+
+    Accepts a ``TrainConfig`` or a reference-style SHOUTY/pythonic dict.
+    """
+    if isinstance(config, dict):
+        config = TrainConfig.from_dict(config)
+    if use_wandb is not None:
+        config.use_wandb = use_wandb
+    if resume_from is not None:
+        config.resume_from = resume_from
+
+    out_dir = pathlib.Path(config.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---------------------------------------------------------------- data
+    dc = config.data
+    train_cache, val_cache, info = cache_mod.build_train_val_caches(
+        dc.data_root, dc.case_limit, dc.num_folds, dc.fold_index, dc.seed,
+        cache_kind="ram", verbose=False)
+    cache_mod.save_splits(out_dir / "splits", info["train_cases"], info["val_cases"])
+    dev_pool = pool_mod.DevicePool(train_cache, dc.pool_size, seed=dc.seed)
+
+    # --------------------------------------------------------------- model
+    model = build_model(config.model, train_cache.n_modalities, rff_seed=dc.seed)
+    key = jax.random.PRNGKey(dc.seed)
+    key, k_init = jax.random.split(key)
+    params = model.init(k_init)
+
+    if config.resume_from:
+        loaded = ckpt.load_params(config.resume_from)
+        ckpt.check_resume_shapes(params, loaded)
+        params = jax.tree_util.tree_map(jnp.asarray, loaded)
+        print(f"[train] resumed from {config.resume_from}")
+
+    # ----------------------------------------------------------- optimizer
+    optimizer = optimizers.build_optimizer(config.optim, config.train_steps)
+    opt_state = optimizer.init(params)
+
+    # global = micro * accum * dp: each data-parallel shard samples its own
+    # micro-batches, so accumulation shrinks as the mesh grows.
+    dp = max(1, config.data_parallel)
+    accum_steps = max(1, -(-config.global_batch // (config.micro_batch * dp)))
+    micro = config.micro_batch
+    sampler = sampling.make_sampler(dc.sampler, micro, dc.tumor_ratio,
+                                    dc.min_subclass_samples)
+    coord_noise = steps.make_coord_noise_schedule(
+        config.optim.coord_noise_sigma_start, config.optim.coord_noise_sigma_end,
+        config.train_steps)
+
+    if config.data_parallel > 1:
+        from mri_raytracer_tpu.parallel import training as ptrain
+
+        step_fn = ptrain.build_dp_train_step(
+            model, config.loss, optimizer, sampler, accum_steps,
+            config.data_parallel, coord_noise)
+    else:
+        step_fn = steps.build_train_step(model, config.loss, optimizer, sampler,
+                                         accum_steps, coord_noise)
+
+    # ------------------------------------------------------------- logging
+    logger = RunLogger(out_dir, config.run_name, config.to_dict(),
+                       use_wandb=config.use_wandb,
+                       wandb_project=config.wandb_project)
+
+    # ------------------------------------------------------------ hot loop
+    t_start = time.time()
+    history = []
+    for step in range(1, config.train_steps + 1):
+        dev_pool.maybe_refresh(step, dc.pool_refresh)
+        key, k_step = jax.random.split(key)
+        params, opt_state, m = step_fn(params, opt_state, k_step,
+                                       dev_pool.mods, dev_pool.segs,
+                                       jnp.int32(step))
+        if step % config.log_every == 0 or step == 1:
+            loss = float(m.loss)
+            dpc = np.asarray(m.dice_per_class)
+            cpc = np.asarray(m.ce_per_class)
+            scal = {"train/loss": loss, "train/ce": float(m.ce),
+                    "train/dice_mean": float(np.mean(dpc))}
+            scal.update({f"train/dice_class_{i}": float(v) for i, v in enumerate(dpc)})
+            scal.update({f"train/ce_class_{i}": float(v) for i, v in enumerate(cpc)})
+            logger.log(scal, step)
+            history.append({"step": step, "loss": loss})
+        if config.checkpoint_every > 0 and step % config.checkpoint_every == 0:
+            if isinstance(params, list):  # reference flat format
+                ckpt.save_flat(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
+            else:
+                ckpt.save_object(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
+    train_time = time.time() - t_start
+
+    # ---------------------------------------------------------- final save
+    final_path = out_dir / f"{config.run_name}.npz"
+    info_payload = {**config.to_dict(),
+                    "FOURIER_FREQS": config.model.fourier_freqs,
+                    "NUM_CLASSES": config.model.num_classes,
+                    "HIDDEN_DIMS": list(config.model.hidden_dims),
+                    "train_time_sec": train_time}
+    ckpt.save_object(params, final_path, info=info_payload)
+    if isinstance(params, list):
+        ckpt.save_flat(params, out_dir / f"{config.run_name}_flat.npz")
+
+    # ----------------------------------------------------------- evaluation
+    eval_agg = None
+    if val_cache is not None and val_cache.n_cases > 0:
+        results, eval_agg = inference.evaluate_cases(
+            model, params, [val_cache.get(i) for i in range(val_cache.n_cases)],
+            num_classes=config.model.num_classes)
+        logger.log_summary({"val": {k: list(v) for k, v in eval_agg.items()}})
+        logger.save_best({"val": {k: list(v) for k, v in eval_agg.items()},
+                          "checkpoint": str(final_path)})
+    logger.log_summary({"train_time_sec": train_time,
+                        "final_checkpoint": str(final_path)})
+    logger.log_artifact(final_path)
+    logger.finish()
+
+    return {"params": params, "model": model, "config": config,
+            "train_cache": train_cache, "val_cache": val_cache,
+            "history": history, "eval": eval_agg, "checkpoint": str(final_path),
+            "train_time_sec": train_time}

@@ -1,0 +1,163 @@
+"""Training engine end-to-end on synthetic data + unit pieces."""
+
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mri_raytracer_tpu.config import TrainConfig, ModelConfig, LossConfig, OptimConfig
+from mri_raytracer_tpu.data import synthetic
+from mri_raytracer_tpu.io import checkpoint as ckpt
+from mri_raytracer_tpu.models.api import build_model
+from mri_raytracer_tpu.train import engine, optimizers, steps
+from mri_raytracer_tpu import losses
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brats_train")
+    synthetic.write_synthetic_dataset(root, num_cases=3, shape=(16, 16, 12), seed=3)
+    return root
+
+
+def _tiny_config(dataset, tmp_path, **kw):
+    c = TrainConfig()
+    c.data.data_root = str(dataset)
+    c.data.case_limit = 3
+    c.data.num_folds = 3
+    c.data.fold_index = 0
+    c.data.pool_size = 2
+    c.data.pool_refresh = 0
+    c.model.hidden_dims = (16, 16)
+    c.model.fourier_freqs = 2
+    c.train_steps = 12
+    c.global_batch = 256
+    c.micro_batch = 128
+    c.checkpoint_every = 10
+    c.log_every = 4
+    c.out_dir = str(tmp_path / "run")
+    c.update(kw)
+    return c
+
+
+def test_losses_zoo():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (64, 4))
+    labels = jax.random.randint(key, (64,), 0, 4)
+    base = LossConfig()
+    l, aux = losses.segmentation_loss(logits, labels, base, 4)
+    assert np.isfinite(float(l))
+    assert aux["dice_per_class"].shape == (4,)
+    # every optional term keeps the loss finite and changes its value
+    variants = [
+        dict(focal_gamma=2.0), dict(label_smoothing=0.1),
+        dict(edema_fp_weight=0.5), dict(tversky_weight=0.5),
+        dict(edema_logit_reg=0.1), dict(unified_focal_weight=1.0),
+        dict(per_class_dice=True),
+    ]
+    for v in variants:
+        cfg = LossConfig(**v)
+        lv, _ = losses.segmentation_loss(logits, labels, cfg, 4)
+        assert np.isfinite(float(lv)), v
+
+
+def test_loss_decreases_with_perfect_logits():
+    labels = jnp.array([0, 1, 2, 3] * 16)
+    good = jax.nn.one_hot(labels, 4) * 10.0
+    bad = -jax.nn.one_hot(labels, 4) * 10.0
+    cfg = LossConfig()
+    lg, _ = losses.segmentation_loss(good, labels, cfg, 4)
+    lb, _ = losses.segmentation_loss(bad, labels, cfg, 4)
+    assert float(lg) < float(lb)
+
+
+@pytest.mark.parametrize("name", ["adamw", "adam", "sgd", "lion", "muon",
+                                  "prodigy", "dadapt_adamw",
+                                  "schedule_free_adamw", "momo_adam"])
+def test_optimizer_zoo(name):
+    cfg = OptimConfig(optimizer=name)
+    opt = optimizers.build_optimizer(cfg, 100)
+    params = [{"W": jnp.ones((4, 3)), "b": jnp.zeros(3)}]
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params, value=jnp.float32(1.0))
+    assert jnp.isfinite(updates[0]["W"]).all()
+
+
+def test_schedules():
+    for s in ("constant", "warmup_cosine", "cosine", "two_stage"):
+        cfg = OptimConfig(schedule=s, lr=1e-3, warmup_steps=10)
+        sched = optimizers.build_schedule(cfg, 100)
+        if callable(sched):
+            vals = [float(sched(i)) for i in (0, 50, 99)]
+            assert all(np.isfinite(v) and v >= 0 for v in vals)
+
+
+def test_train_end_to_end(dataset, tmp_path):
+    c = _tiny_config(dataset, tmp_path)
+    state = engine.train_inr(c)
+    assert state["history"][0]["loss"] > state["history"][-1]["loss"] * 0.5  # moving
+    # final object checkpoint + sidecar exist and load
+    params, cfg = ckpt.model_load(state["checkpoint"])
+    assert cfg["FOURIER_FREQS"] == 2
+    # flat reference-format checkpoint round-trips
+    flat = ckpt.load_params(str(tmp_path / "run" / f"{c.run_name}_flat.npz"))
+    assert len(flat) == 3  # 2 hidden + 1 out layer
+    # eval produced aggregates
+    assert state["eval"] is not None
+    assert "mean_dice" in state["eval"]
+    # scalar log exists
+    assert (tmp_path / "run" / f"{c.run_name}_scalars.jsonl").exists()
+
+
+def test_train_resume(dataset, tmp_path):
+    c = _tiny_config(dataset, tmp_path)
+    state = engine.train_inr(c)
+    c2 = _tiny_config(dataset, tmp_path)
+    c2.train_steps = 3
+    c2.resume_from = state["checkpoint"]
+    state2 = engine.train_inr(c2)
+    assert state2["history"][-1]["loss"] < 10.0
+
+
+def test_resume_shape_mismatch_raises(dataset, tmp_path):
+    c = _tiny_config(dataset, tmp_path)
+    state = engine.train_inr(c)
+    c2 = _tiny_config(dataset, tmp_path)
+    c2.model.hidden_dims = (8, 8)
+    c2.resume_from = state["checkpoint"]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        engine.train_inr(c2)
+
+
+@pytest.mark.parametrize("kind", ["siren", "coord_injection"])
+def test_model_variants_train(dataset, tmp_path, kind):
+    c = _tiny_config(dataset, tmp_path)
+    c.model.kind = kind
+    c.model.dropout = 0.1 if kind == "coord_injection" else 0.0
+    c.train_steps = 4
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_tumor_sampler_training(dataset, tmp_path):
+    c = _tiny_config(dataset, tmp_path)
+    c.data.sampler = "tumor"
+    c.train_steps = 4
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_coord_noise_schedule():
+    s = steps.make_coord_noise_schedule(0.3, 0.1, 100)
+    assert abs(float(s(jnp.int32(0))) - 0.3) < 1e-6
+    assert abs(float(s(jnp.int32(100))) - 0.1) < 1e-6
+    assert steps.make_coord_noise_schedule(0.0, 0.0, 100) is None
+
+
+def test_inspect_npz(tmp_path):
+    p = tmp_path / "x.npz"
+    ckpt.save_flat([{"W": np.ones((3, 2)), "b": np.zeros(2)}], p)
+    lines = ckpt.inspect_npz(p)
+    assert any("W_0" in l for l in lines)
