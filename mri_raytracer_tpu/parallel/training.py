@@ -44,6 +44,6 @@ def build_dp_train_step(model: ModelBundle, loss_cfg: LossConfig, optimizer,
         shard_body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
