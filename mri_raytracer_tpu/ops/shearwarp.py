@@ -1,0 +1,528 @@
+"""TPU-native fast BraTS renderer: perspective shear-warp factorization.
+
+Why: per-sample random gathers cost ~14 ns/element on TPU (measured), so the
+shader-style marcher (ops/raymarch_xla) is ~5 s/frame at 1024^2 x 256^3. This
+module reformulates the identical emission-absorption integral so that ALL
+volume access is dense linear algebra on the MXU:
+
+  1. Pick the volume axis most aligned with the view direction (host-side,
+     three pre-jitted variants; no recompiles during an orbit).
+  2. An "intermediate image" of rays is anchored on the volume face FARTHEST
+     from the eye (the base plane). Every intermediate pixel (i, j) defines
+     the ray eye -> base-plane grid point. For slice plane k, that ray
+     crosses at in-plane position  pos_a(i,k) = off_a(k) + i * sc_a(k)  —
+     affine in i with per-slice scale/offset, independent of j (and
+     symmetrically for j). Hence per-slice resampling is two SEPARABLE 1-D
+     interpolations = two batched matmuls with 2-banded weight matrices
+     built on the fly from iota (hat weights for trilinear channels,
+     one-hot for nearest/label channels).
+  3. Front-to-back compositing runs at intermediate resolution in a
+     lax.scan over slices with the exact shader math
+     (inr/viewer/brats_rt.slang:115-165): window/level/gamma transfer,
+     alpha = 1 - exp(-sigma * dt) with the TRUE per-ray sample spacing
+     dt(i,j) = voxel_k * |v|(i,j) / |w0 - e_k|, LUT label overlays
+     (pred at 1.5x opacity), per-ray termination at T <= 0.01.
+  4. One final 2-D warp (a homography, since all intermediate rays share the
+     eye) resamples the composited intermediate to screen pixels.
+
+With ``supersample`` > 1, fractional planes lerp adjacent slices before the
+in-plane resample — linear ops commute, so samples are EXACT trilinear
+interpolations of the volume at the crossing positions.
+
+Sample positions differ from the uniform-delta-t oracle (plane crossings vs
+fixed steps); both discretize the same integral and converge together as the
+step shrinks — golden tests assert PSNR against the oracle at matched
+effective step sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities, transfer_function
+from mri_raytracer_tpu.render.camera import CameraBasis, camera_rays
+from mri_raytracer_tpu.render.params import BratsRenderParams
+
+_EPS = 1e-6
+
+
+# --------------------------------------------------------------------- geometry
+class SweepGeom(NamedTuple):
+    """Per-frame scalars/maps for one sweep axis (all traced arrays)."""
+
+    w_base: jnp.ndarray  # () world coord of the base plane along sweep axis
+    e: jnp.ndarray  # (3,) eye, permuted to (k, a, b)
+    a0: jnp.ndarray  # () world a-coord of intermediate pixel (i=0)
+    b0: jnp.ndarray  # ()
+    da: jnp.ndarray  # () intermediate pixel pitch in a
+    db: jnp.ndarray  # ()
+    flip: jnp.ndarray  # () bool: sweep slices in descending k order
+    vmag: jnp.ndarray  # (O, O) |base_point - eye| per intermediate pixel
+    dt_map: jnp.ndarray  # (O, O) per-ray spacing between consecutive planes
+
+
+def _permute3(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reorder an xyz vector so the sweep axis comes first."""
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+    return jnp.stack([v[order[0]], v[order[1]], v[order[2]]])
+
+
+def _perm_volume(vol: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """(X,Y,Z) -> (K, A, B) with the sweep axis leading."""
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+    return jnp.transpose(vol, order)
+
+
+def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
+                   dims_perm: Tuple[int, int, int], axis: int,
+                   out_res: int) -> SweepGeom:
+    Nk, Na, Nb = dims_perm
+    bmin = _permute3(p.vol_min, axis)
+    vox = _permute3(p.voxel_size, axis)
+    e = _permute3(basis.eye, axis)
+    dimsf = jnp.array([Nk, Na, Nb], jnp.float32)
+
+    # Base plane: the k-face farthest from the eye.
+    w_lo = bmin[0]
+    w_hi = bmin[0] + vox[0] * Nk
+    use_hi = jnp.abs(w_hi - e[0]) > jnp.abs(w_lo - e[0])
+    w_base = jnp.where(use_hi, w_hi, w_lo)
+
+    # Intermediate extent: projections of the 8 box corners from the eye
+    # onto the base plane, clamped to 3x the box (guards rays nearly
+    # parallel to the slice planes).
+    ca = jnp.array([bmin[1], bmin[1] + vox[1] * Na])
+    cb = jnp.array([bmin[2], bmin[2] + vox[2] * Nb])
+    ck = jnp.array([w_lo, w_hi])
+    K, A, B = jnp.meshgrid(ck, ca, cb, indexing="ij")
+    denom = K.reshape(-1) - e[0]
+    denom = jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+    lam = (w_base - e[0]) / denom
+    lam = jnp.clip(lam, 0.0, 3.0)
+    proj_a = e[1] + lam * (A.reshape(-1) - e[1])
+    proj_b = e[2] + lam * (B.reshape(-1) - e[2])
+    size_a = vox[1] * Na
+    size_b = vox[2] * Nb
+    amin = jnp.clip(jnp.min(proj_a), bmin[1] - size_a, bmin[1] + 2 * size_a)
+    amax = jnp.clip(jnp.max(proj_a), bmin[1] - size_a, bmin[1] + 2 * size_a)
+    bmin2 = jnp.clip(jnp.min(proj_b), bmin[2] - size_b, bmin[2] + 2 * size_b)
+    bmax2 = jnp.clip(jnp.max(proj_b), bmin[2] - size_b, bmin[2] + 2 * size_b)
+    da = jnp.maximum(amax - amin, _EPS) / (out_res - 1)
+    db = jnp.maximum(bmax2 - bmin2, _EPS) / (out_res - 1)
+
+    ii = jnp.arange(out_res, dtype=jnp.float32)
+    va = (amin + ii * da) - e[1]  # (O,)
+    vb = (bmin2 + ii * db) - e[2]
+    vk = w_base - e[0]
+    vmag = jnp.sqrt(va[:, None] ** 2 + vb[None, :] ** 2 + vk ** 2)
+    dt_map = vox[0] * vmag / jnp.maximum(jnp.abs(vk), _EPS)
+
+    flip = (vox[0] / jnp.where(jnp.abs(vk) < _EPS, _EPS, vk)) < 0.0
+    return SweepGeom(w_base=w_base, e=e, a0=amin, b0=bmin2, da=da, db=db,
+                     flip=flip, vmag=vmag, dt_map=dt_map)
+
+
+# ------------------------------------------------------------ weight matrices
+def _inplane_affine(geom: SweepGeom, in_axis: int, bmin_a, vox_a, w_k):
+    """Scale/offset of the crossing position (index units) along in-plane
+    axis ``in_axis`` (0 = a, 1 = b) for the slice plane at world ``w_k``:
+    pos(i) = off + i * sc."""
+    e_in = geom.e[1 + in_axis]
+    g0 = geom.a0 if in_axis == 0 else geom.b0
+    dg = geom.da if in_axis == 0 else geom.db
+    lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
+    off = (e_in * (1.0 - lam) + lam * g0 - bmin_a) / vox_a
+    sc = lam * dg / vox_a
+    return off, sc, lam
+
+
+def hat_matrix(off, sc, n_in: int, out_res: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(O, N) trilinear hat weights + (O,) inside-box mask for positions
+    pos(i) = off + i*sc. Positions are clamped to [0, n_in - 1.001] exactly
+    like the shader sampler; the mask marks pos in [0, n_in] (the full box)."""
+    i = jnp.arange(out_res, dtype=jnp.float32)
+    pos = off + i * sc  # (O,)
+    inside = (pos >= 0.0) & (pos <= float(n_in))
+    q = jnp.clip(pos, 0.0, n_in - 1.001)
+    base = jnp.floor(q)
+    frac = q - base
+    y = jnp.arange(n_in, dtype=jnp.float32)
+    d0 = y[None, :] - base[:, None]  # 0 at floor, 1 at floor+1
+    w = jnp.where(d0 == 0.0, 1.0 - frac[:, None],
+                  jnp.where(d0 == 1.0, frac[:, None], 0.0))
+    return w, inside.astype(jnp.float32)
+
+
+def nearest_matrix(off, sc, n_in: int, out_res: int) -> jnp.ndarray:
+    """(O, N) one-hot nearest weights (label channels): round(clamp(pos))."""
+    i = jnp.arange(out_res, dtype=jnp.float32)
+    pos = off + i * sc
+    q = jnp.round(jnp.clip(pos, 0.0, float(n_in - 1)))
+    y = jnp.arange(n_in, dtype=jnp.float32)
+    return (y[None, :] == q[:, None]).astype(jnp.float32)
+
+
+def _lut_rgba(lab: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """(O,O) float label (exact small ints) -> (O,O,4) via 8-way select;
+    labels outside [1,8) resolve to the transparent lut[0]."""
+    idx = jnp.round(lab).astype(jnp.int32)
+    idx = jnp.where((idx > 0) & (idx < 8), idx, 0)
+    out = jnp.zeros(lab.shape + (4,), jnp.float32)
+    for c in range(1, 8):
+        out = jnp.where((idx == c)[..., None], lut[c], out)
+    return out
+
+
+
+def _nearest_resample(vol_s, zn, Wan, Wbn):
+    """One-hot (nearest) separable resample of an integer label slice.
+    bf16 is exact here: one-hot weights and label values 0..7 are
+    representable, so the picked label survives the matmul unchanged."""
+    sl = jax.lax.dynamic_index_in_dim(vol_s, zn, 0, False).astype(jnp.bfloat16)
+    t = jnp.dot(Wan.astype(jnp.bfloat16), sl, preferred_element_type=jnp.float32)
+    return jnp.dot(t.astype(jnp.bfloat16), Wbn.T.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------ the sweep
+def _composite(C, T, rgb, alpha):
+    C = C + (alpha * T)[..., None] * rgb
+    T = T * (1.0 - alpha)
+    return C, T
+
+
+def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
+                    pred_s: Optional[jnp.ndarray], geom: SweepGeom,
+                    p: BratsRenderParams, axis: int, out_res: int,
+                    supersample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan over slice planes; returns intermediate (O,O,3) emission and
+    (O,O) transmittance. Volumes are pre-permuted to (K, A, B)."""
+    Nk, Na, Nb = mixed_s.shape
+    bmin = _permute3(p.vol_min, axis)
+    vox = _permute3(p.voxel_size, axis)
+    # Planes cover the FULL box depth, index z in [0, Nk] (the box spans
+    # [vol_min, vol_min + voxel*dims] = index [0, N]; samples in the outer
+    # [N-1, N] margin clamp to the edge slice exactly like the shader).
+    n_planes = Nk * supersample + 1
+    dt = geom.dt_map / supersample
+
+    near_t = jnp.maximum(p.near, 0.0)
+    tmin_map = near_t * jnp.ones_like(geom.vmag)
+    big = jnp.float32(3e38)
+    tmax_map = jnp.where(p.far > 0.0, p.far, big) * jnp.ones_like(geom.vmag)
+
+    def body(carry, m):
+        C, T = carry
+        # Plane index along the sweep (flip for back-to-front eyes).
+        mm = jnp.where(geom.flip, n_planes - 1 - m, m)
+        z = mm.astype(jnp.float32) / supersample  # fractional slice index
+        # Value sampling clamps to [0, Nk - 1.001] (shader clamp); the plane's
+        # world position w_k keeps the UNclamped z.
+        zq = jnp.clip(z, 0.0, Nk - 1.001)
+        z0 = jnp.floor(zq).astype(jnp.int32)
+        fz = zq - z0.astype(jnp.float32)
+        z1 = jnp.minimum(z0 + 1, Nk - 1)
+
+        w_k = bmin[0] + z * vox[0]
+        off_a, sc_a, lam = _inplane_affine(geom, 0, bmin[1], vox[1], w_k)
+        off_b, sc_b, _ = _inplane_affine(geom, 1, bmin[2], vox[2], w_k)
+        Wa, mask_a = hat_matrix(off_a, sc_a, Na, out_res)
+        Wb, mask_b = hat_matrix(off_b, sc_b, Nb, out_res)
+
+        # z-lerp the two bracketing slices, then separable in-plane resample
+        # (linear ops commute => exact trilinear at the crossing position).
+        # Matmuls run in bf16 with f32 accumulation: weights are exact in
+        # bf16 up to rounding of frac, volume values are display-normalized
+        # [0,1] — sample error ~2e-3, well under the compositing tolerance.
+        sl = ((1.0 - fz) * jax.lax.dynamic_index_in_dim(mixed_s, z0, 0, False)
+              + fz * jax.lax.dynamic_index_in_dim(mixed_s, z1, 0, False))
+        t1 = jnp.dot(Wa.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        v = jnp.dot(t1.astype(jnp.bfloat16), Wb.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)  # (O, O)
+
+        # Ray parameter of this crossing + activity mask.
+        t_k = lam * geom.vmag
+        inplane = mask_a[:, None] * mask_b[None, :]
+        active = (inplane > 0.0) & (t_k >= tmin_map) & (t_k <= tmax_map) \
+            & (T > 0.01)
+        act = active.astype(jnp.float32)
+
+        val = transfer_function(v, p.ww, p.wl, p.gamma)
+        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt)) * act
+        C, T = _composite(C, T, val[..., None], a)
+
+        if seg_s is not None:
+            Wan = nearest_matrix(off_a, sc_a, Na, out_res)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, out_res)
+            zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
+            lab = _nearest_resample(seg_s, zn, Wan, Wbn)
+            rgba = _lut_rgba(lab, p.lut)
+            a = (1.0 - jnp.exp(-rgba[..., 3] * dt)) * act * \
+                jnp.where(p.show_seg > 0, 1.0, 0.0)
+            C, T = _composite(C, T, rgba[..., :3], a)
+            if pred_s is not None:
+                labp = _nearest_resample(pred_s, zn, Wan, Wbn)
+                rgba = _lut_rgba(labp, p.lut)
+                a = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * \
+                    jnp.where(p.show_pred > 0, 1.0, 0.0)
+                C, T = _composite(C, T, rgba[..., :3], a)
+        elif pred_s is not None:
+            Wan = nearest_matrix(off_a, sc_a, Na, out_res)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, out_res)
+            zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
+            labp = _nearest_resample(pred_s, zn, Wan, Wbn)
+            rgba = _lut_rgba(labp, p.lut)
+            a = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * \
+                jnp.where(p.show_pred > 0, 1.0, 0.0)
+            C, T = _composite(C, T, rgba[..., :3], a)
+
+        return (C, T), None
+
+    C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
+    T0 = jnp.ones((out_res, out_res), jnp.float32)
+    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes))
+    return C, T
+
+
+def _batched_hat(offs, scs, n_in: int, out_res: int):
+    """(S,O,N) hat weights + (S,O) inside mask for a slab of planes."""
+    i = jnp.arange(out_res, dtype=jnp.float32)
+    pos = offs[:, None] + i[None, :] * scs[:, None]  # (S, O)
+    inside = ((pos >= 0.0) & (pos <= float(n_in))).astype(jnp.float32)
+    q = jnp.clip(pos, 0.0, n_in - 1.001)
+    base = jnp.floor(q)
+    frac = q - base
+    y = jnp.arange(n_in, dtype=jnp.float32)
+    d0 = y[None, None, :] - base[..., None]
+    w = jnp.where(d0 == 0.0, 1.0 - frac[..., None],
+                  jnp.where(d0 == 1.0, frac[..., None], 0.0))
+    return w, inside
+
+
+def _batched_nearest(offs, scs, n_in: int, out_res: int):
+    i = jnp.arange(out_res, dtype=jnp.float32)
+    pos = offs[:, None] + i[None, :] * scs[:, None]
+    q = jnp.round(jnp.clip(pos, 0.0, float(n_in - 1)))
+    y = jnp.arange(n_in, dtype=jnp.float32)
+    return (y[None, None, :] == q[..., None]).astype(jnp.float32)
+
+
+def _bf16_resample(block, Wa, Wb):
+    """(S,N,N) slices x (S,O,N)/(S,O,N) weights -> (S,O,O), bf16 on the MXU
+    with f32 accumulation."""
+    t = jnp.einsum("soy,syx->sox", Wa.astype(jnp.bfloat16),
+                   block.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("sox,spx->sop", t.astype(jnp.bfloat16),
+                      Wb.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
+                         pred_s: Optional[jnp.ndarray], geom: SweepGeom,
+                         p: BratsRenderParams, axis: int, out_res: int,
+                         slab: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab-batched compositing for supersample == 1 (the fast path).
+
+    Resampling runs as two big batched bf16 einsums per slab (high MXU
+    utilization vs a 257-iteration scan of tiny matmuls); the three overlay
+    composites at one plane fold into a single per-plane net emission
+    E = aI*val + (1-aI)*aS*segRGB + (1-aI)(1-aS)*aP*predRGB and net
+    transmittance factor tau = (1-aI)(1-aS)(1-aP); across planes a cumulative
+    product replaces the sequential recurrence. The T<=0.01 termination gate
+    applies to each plane's *entry* transmittance, which is monotone, so the
+    gating matches the sequential oracle exactly.
+    """
+    Nk, Na, Nb = mixed_s.shape
+    bmin = _permute3(p.vol_min, axis)
+    vox = _permute3(p.voxel_size, axis)
+    n_planes = Nk + 1  # index z in [0, Nk]; z = Nk clamps to the edge slice
+    pad = (-n_planes) % slab
+    n_slabs = (n_planes + pad) // slab
+
+    def _pad(v):
+        # ``slab`` edge copies on each end: every slab's contiguous block
+        # (including partial/overhanging ones) reads valid memory, and the
+        # z = Nk plane sees the clamped edge slice. Overhang planes are
+        # masked out via ``in_range``.
+        return jnp.concatenate([jnp.repeat(v[:1], slab, 0), v,
+                                jnp.repeat(v[-1:], slab + 1, 0)], axis=0)
+
+    padded = _pad(mixed_s)
+    seg_p = _pad(seg_s) if seg_s is not None else None
+    pred_p = _pad(pred_s) if pred_s is not None else None
+
+    near_t = jnp.maximum(p.near, 0.0)
+    far_t = jnp.where(p.far > 0.0, p.far, jnp.float32(3e38))
+    dt = geom.dt_map
+    show_seg = jnp.where(p.show_seg > 0, 1.0, 0.0)
+    show_pred = jnp.where(p.show_pred > 0, 1.0, 0.0)
+
+    def slab_body(carry, s_idx):
+        C, T = carry
+        m0 = s_idx * slab
+        m = m0 + jnp.arange(slab)  # plane ids within the sweep order
+        mm = jnp.where(geom.flip, n_planes - 1 - m, m)  # slice index z
+        in_range = (m < n_planes).astype(jnp.float32)  # padding mask
+        z = mm.astype(jnp.float32)
+
+        # Contiguous slice block (reversed when sweeping back-to-front);
+        # the +slab offset lands inside the edge padding for overhangs.
+        start = jnp.where(geom.flip, mm[-1], mm[0]) + slab
+        block = jax.lax.dynamic_slice_in_dim(padded, start, slab, 0)
+        block = jnp.where(geom.flip, jnp.flip(block, 0), block)
+
+        w_k = bmin[0] + z * vox[0]
+        lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
+        off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1]
+        sc_a = lam * geom.da / vox[1]
+        off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2]
+        sc_b = lam * geom.db / vox[2]
+
+        Wa, mask_a = _batched_hat(off_a, sc_a, Na, out_res)
+        Wb, mask_b = _batched_hat(off_b, sc_b, Nb, out_res)
+        v = _bf16_resample(block, Wa, Wb)  # (S, O, O)
+
+        t_k = lam[:, None, None] * geom.vmag[None]  # (S, O, O)
+        act = (mask_a[:, :, None] * mask_b[:, None, :]
+               * (t_k >= near_t) * (t_k <= far_t)
+               * in_range[:, None, None])
+
+        val = transfer_function(v, p.ww, p.wl, p.gamma)
+        aI = (1.0 - jnp.exp(-val * p.intensity_alpha * dt[None])) * act
+        E = aI[..., None] * val[..., None]  # (S, O, O, 3) grayscale emission
+        tau = 1.0 - aI
+
+        if seg_s is not None or pred_s is not None:
+            Wan = _batched_nearest(off_a, sc_a, Na, out_res)
+            Wbn = _batched_nearest(off_b, sc_b, Nb, out_res)
+        if seg_s is not None:
+            seg_blk = jax.lax.dynamic_slice_in_dim(seg_p, start, slab, 0)
+            seg_blk = jnp.where(geom.flip, jnp.flip(seg_blk, 0), seg_blk)
+            lab = _bf16_resample(seg_blk.astype(jnp.float32), Wan, Wbn)
+            rgba = _lut_rgba(lab, p.lut)
+            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt[None])) * act * show_seg
+            E = E + (tau * aS)[..., None] * rgba[..., :3]
+            tau = tau * (1.0 - aS)
+        if pred_s is not None:
+            pred_blk = jax.lax.dynamic_slice_in_dim(pred_p, start, slab, 0)
+            pred_blk = jnp.where(geom.flip, jnp.flip(pred_blk, 0), pred_blk)
+            labp = _bf16_resample(pred_blk.astype(jnp.float32), Wan, Wbn)
+            rgba = _lut_rgba(labp, p.lut)
+            aP = (1.0 - jnp.exp(-rgba[..., 3] * dt[None] * 1.5)) * act * show_pred
+            E = E + (tau * aP)[..., None] * rgba[..., :3]
+            tau = tau * (1.0 - aP)
+
+        # Exclusive cumulative transmittance within the slab, then gate each
+        # plane's contribution by its entry transmittance (> 0.01).
+        cum = jnp.cumprod(tau, axis=0)
+        cum_excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        T_entry = T[None] * cum_excl  # (S, O, O)
+        gate = (T_entry > 0.01).astype(jnp.float32)
+        C = C + jnp.sum((T_entry * gate)[..., None] * E, axis=0)
+        T = T * cum[-1]
+        return (C, T), None
+
+    C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
+    T0 = jnp.ones((out_res, out_res), jnp.float32)
+    (C, T), _ = jax.lax.scan(slab_body, (C0, T0), jnp.arange(n_slabs))
+    return C, T
+
+
+# ---------------------------------------------------------------- final warp
+def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
+                   axis: int, width: int, height: int,
+                   bg: jnp.ndarray) -> jnp.ndarray:
+    """Homography warp intermediate -> screen.
+
+    Screen pixel ray (unit d, permuted): hits the base plane at
+    t = (w_base - e_k)/d_k; in-plane coords -> intermediate (i, j).
+    v1 uses two-gather bilinear (take_along_axis); a Pallas tile-matmul warp
+    replaces this on the TPU fast path.
+    """
+    O = C.shape[0]
+    ro, rd = camera_rays(basis, width, height)  # (H,W,3) world
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+    dk = rd[..., order[0]]
+    da_ = rd[..., order[1]]
+    db_ = rd[..., order[2]]
+    e = geom.e
+    denom = jnp.where(jnp.abs(dk) < _EPS, _EPS, dk)
+    t_base = (geom.w_base - e[0]) / denom
+    hit_a = e[1] + t_base * da_
+    hit_b = e[2] + t_base * db_
+    i_map = (hit_a - geom.a0) / geom.da
+    j_map = (hit_b - geom.b0) / geom.db
+    valid = (t_base > 0.0) & (i_map >= 0.0) & (i_map <= O - 1) & \
+            (j_map >= 0.0) & (j_map <= O - 1)
+
+    i0 = jnp.clip(jnp.floor(i_map).astype(jnp.int32), 0, O - 2)
+    j0 = jnp.clip(jnp.floor(j_map).astype(jnp.int32), 0, O - 2)
+    fi = jnp.clip(i_map - i0, 0.0, 1.0)
+    fj = jnp.clip(j_map - j0, 0.0, 1.0)
+
+    # ONE row-gather per output pixel: pre-concat the 4 bilinear corners'
+    # RGB into 12-float rows (take of wide rows measures ~3x faster than
+    # four separate 3-float takes on TPU).
+    C2 = jnp.concatenate([C[:, :-1], C[:, 1:]], axis=-1)  # (O, O-1, 6)
+    C4 = jnp.concatenate([C2[:-1], C2[1:]], axis=-1)  # (O-1, O-1, 12)
+    quad = jnp.take(C4.reshape((O - 1) * (O - 1), 12),
+                    (i0 * (O - 1) + j0).reshape(-1), axis=0)
+    quad = quad.reshape(height, width, 4, 3)
+    w00 = ((1 - fi) * (1 - fj))[..., None]
+    w01 = ((1 - fi) * fj)[..., None]
+    w10 = (fi * (1 - fj))[..., None]
+    w11 = (fi * fj)[..., None]
+    out = (quad[..., 0, :] * w00 + quad[..., 1, :] * w01
+           + quad[..., 2, :] * w10 + quad[..., 3, :] * w11)
+    out = jnp.where(valid[..., None], out, 0.0)
+    return bg[None, None, :] + out
+
+
+# ------------------------------------------------------------------ front-end
+@functools.partial(jax.jit,
+                   static_argnames=("axis", "width", "height", "out_res",
+                                    "supersample", "has_seg", "has_pred"))
+def _render_sweep_axis(mods, seg, pred, basis, p, axis, width, height,
+                       out_res, supersample, has_seg, has_pred):
+    mixed = blend_modalities(mods, p.vol_enabled[: mods.shape[0]],
+                             p.vol_weight[: mods.shape[0]])
+    mixed_s = _perm_volume(mixed, axis)
+    seg_s = _perm_volume(seg, axis) if has_seg else None
+    pred_s = _perm_volume(pred, axis) if has_pred else None
+    geom = sweep_geometry(basis, p, mixed_s.shape, axis, out_res)
+    if supersample == 1:
+        C, T = sweep_composite_slab(mixed_s, seg_s, pred_s, geom, p, axis,
+                                    out_res)
+    else:
+        C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
+                               supersample)
+    return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
+
+
+def dominant_axis(basis: CameraBasis) -> int:
+    """Host-side choice of sweep axis (forward component largest)."""
+    import numpy as np
+
+    f = np.abs(np.asarray(basis.forward))
+    return int(np.argmax(f))
+
+
+def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
+                 pred: Optional[jnp.ndarray], basis: CameraBasis,
+                 p: BratsRenderParams, width: int = 1024, height: int = 1024,
+                 max_steps: int = 1024, out_res: Optional[int] = None,
+                 supersample: int = 1) -> jnp.ndarray:
+    """Drop-in fast replacement for raymarch_xla.render_brats."""
+    out_res = out_res or max(width, height)
+    axis = dominant_axis(basis)
+    zeros = jnp.zeros((1, 1, 1), jnp.int32)
+    return _render_sweep_axis(mods, seg if seg is not None else zeros,
+                              pred if pred is not None else zeros,
+                              basis, p, axis, width, height, out_res,
+                              supersample, seg is not None, pred is not None)

@@ -1,0 +1,130 @@
+"""Golden tests: shear-warp fast renderer vs the XLA oracle marcher.
+
+The sweep samples at plane crossings, the oracle at uniform delta-t; both
+discretize the same emission-absorption integral, so with matched effective
+step sizes (oracle dt = voxel pitch) images must agree to >= 40 dB PSNR
+(the BASELINE.md quality bar).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mri_raytracer_tpu.data import synthetic, brats
+from mri_raytracer_tpu.eval.metrics import psnr
+from mri_raytracer_tpu.ops import raymarch_xla as rx
+from mri_raytracer_tpu.ops import shearwarp as sw
+from mri_raytracer_tpu.render import params as rp
+from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+SHAPE = (32, 32, 28)
+VOX = 1.8 / 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=1)
+    mods_disp = np.stack([brats.percentile_normalize(m) for m in mods])
+    return jnp.asarray(mods_disp), jnp.asarray(seg.astype(np.int32))
+
+
+def _pair(scene, theta, phi, show_seg, show_pred=False, out_mult=2):
+    mods, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=show_seg, show_pred=show_pred,
+                                 step_size=VOX)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=theta, phi=phi)
+    b = cam.basis()
+    pred = seg if show_pred else None
+    img_o = np.asarray(rx.render_brats(mods, seg if show_seg else None, pred,
+                                       b, p, 96, 96, max_steps=2048))
+    img_s = np.asarray(sw.render_brats(mods, seg if show_seg else None, pred,
+                                       b, p, 96, 96, out_res=96 * out_mult))
+    return img_o, img_s
+
+
+# Views covering all three sweep axes + an oblique worst case.
+VIEWS = [(0.0, 1.57), (1.57, 1.57), (0.1, 0.2), (2.4, 0.6), (4.2, 2.2)]
+
+
+@pytest.mark.parametrize("theta,phi", VIEWS)
+def test_sweep_matches_oracle_intensity(scene, theta, phi):
+    img_o, img_s = _pair(scene, theta, phi, show_seg=False)
+    assert psnr(img_s, img_o) >= 40.0
+
+
+@pytest.mark.parametrize("theta,phi", VIEWS[:3])
+def test_sweep_matches_oracle_with_overlays(scene, theta, phi):
+    img_o, img_s = _pair(scene, theta, phi, show_seg=True, show_pred=True)
+    assert psnr(img_s, img_o) >= 38.0  # nearest-label sampling is positional
+
+
+def test_slab_equals_plane_scan(scene):
+    """The slab-batched fast path must reproduce the per-plane scan exactly
+    (same math, different schedule)."""
+    mods, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=True, step_size=VOX)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.7, phi=1.1)
+    b = cam.basis()
+    axis = sw.dominant_axis(b)
+    mixed = sw.blend_modalities(mods, p.vol_enabled, p.vol_weight)
+    ms = sw._perm_volume(mixed, axis)
+    ss = sw._perm_volume(seg, axis)
+    geom = sw.sweep_geometry(b, p, ms.shape, axis, 64)
+    C1, T1 = sw.sweep_composite(ms, ss, None, geom, p, axis, 64, 1)
+    C2, T2 = sw.sweep_composite_slab(ms, ss, None, geom, p, axis, 64)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=2e-3)
+
+
+def test_supersampling_improves_or_holds(scene):
+    mods, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=False, step_size=VOX * 0.5)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.0, phi=1.57)
+    b = cam.basis()
+    img_o = np.asarray(rx.render_brats(mods, None, None, b, p, 96, 96, 2048))
+    ps = []
+    for ss in (1, 2):
+        img_s = np.asarray(sw.render_brats(mods, None, None, b, p, 96, 96,
+                                           out_res=192, supersample=ss))
+        ps.append(psnr(img_s, img_o))
+    assert ps[1] >= ps[0] - 1.0  # finer planes should not get worse
+
+
+def test_background_outside_shadow(scene):
+    mods, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=False)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.3, phi=1.0)
+    img = np.asarray(sw.render_brats(mods, None, None, cam.basis(), p, 96, 96))
+    np.testing.assert_allclose(img[0, 0], np.asarray(p.bg_color), atol=1e-5)
+
+
+def test_hat_matrix_rows_sum_to_one():
+    W, mask = sw.hat_matrix(jnp.float32(0.3), jnp.float32(0.5), 16, 8)
+    sums = np.asarray(W.sum(axis=1))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-6)
+
+
+def test_nearest_matrix_one_hot():
+    W = sw.nearest_matrix(jnp.float32(0.3), jnp.float32(0.7), 16, 8)
+    W = np.asarray(W)
+    assert ((W == 0) | (W == 1)).all()
+    np.testing.assert_allclose(W.sum(axis=1), 1.0)
+
+
+def test_renderer_front_end_backends(scene):
+    from mri_raytracer_tpu.render.brats import BratsRenderer
+
+    mods, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE))
+    for backend in ("sweep", "xla"):
+        r = BratsRenderer(mods, seg, None, width=48, height=48,
+                          max_steps=128, backend=backend)
+        img = r.render_numpy(cam.basis(), p)
+        assert img.shape == (48, 48, 3)
+        assert np.isfinite(img).all()
