@@ -198,7 +198,8 @@ def _composite(C, T, rgb, alpha):
 def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     pred_s: Optional[jnp.ndarray], geom: SweepGeom,
                     p: BratsRenderParams, axis: int, out_res: int,
-                    supersample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    supersample: int = 1, use_gamma: bool = True,
+                    use_clip: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan over slice planes; returns intermediate (O,O,3) emission and
     (O,O) transmittance. Volumes are pre-permuted to (K, A, B)."""
     Nk, Na, Nb = mixed_s.shape
@@ -246,13 +247,20 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     preferred_element_type=jnp.float32)  # (O, O)
 
         # Ray parameter of this crossing + activity mask.
-        t_k = lam * geom.vmag
         inplane = mask_a[:, None] * mask_b[None, :]
-        active = (inplane > 0.0) & (t_k >= tmin_map) & (t_k <= tmax_map) \
-            & (T > 0.01)
+        if use_clip:
+            t_k = lam * geom.vmag
+            active = (inplane > 0.0) & (t_k >= tmin_map) & (t_k <= tmax_map) \
+                & (T > 0.01)
+        else:
+            # near/far both disabled: behind-eye planes have lam < 0, a
+            # per-plane scalar test — skips the per-pixel t map entirely.
+            active = (inplane > 0.0) & (lam >= 0.0) & (T > 0.01)
         act = active.astype(jnp.float32)
 
-        val = transfer_function(v, p.ww, p.wl, p.gamma)
+        val = jnp.clip((v - (p.wl - p.ww * 0.5)) / p.ww, 0.0, 1.0)
+        if use_gamma:
+            val = jnp.power(val, p.gamma)
         a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt)) * act
         C, T = _composite(C, T, val[..., None], a)
 
@@ -285,7 +293,9 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
     C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
     T0 = jnp.ones((out_res, out_res), jnp.float32)
-    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes))
+    # unroll=2 lets XLA fuse adjacent planes' compositing chains, halving
+    # C/T HBM round-trips (measured ~20% frame win; higher unrolls regress).
+    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes), unroll=2)
     return C, T
 
 
@@ -487,21 +497,21 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
 # ------------------------------------------------------------------ front-end
 @functools.partial(jax.jit,
                    static_argnames=("axis", "width", "height", "out_res",
-                                    "supersample", "has_seg", "has_pred"))
+                                    "supersample", "has_seg", "has_pred",
+                                    "use_gamma", "use_clip"))
 def _render_sweep_axis(mods, seg, pred, basis, p, axis, width, height,
-                       out_res, supersample, has_seg, has_pred):
+                       out_res, supersample, has_seg, has_pred,
+                       use_gamma=True, use_clip=True):
     mixed = blend_modalities(mods, p.vol_enabled[: mods.shape[0]],
                              p.vol_weight[: mods.shape[0]])
     mixed_s = _perm_volume(mixed, axis)
     seg_s = _perm_volume(seg, axis) if has_seg else None
     pred_s = _perm_volume(pred, axis) if has_pred else None
     geom = sweep_geometry(basis, p, mixed_s.shape, axis, out_res)
-    if supersample == 1:
-        C, T = sweep_composite_slab(mixed_s, seg_s, pred_s, geom, p, axis,
-                                    out_res)
-    else:
-        C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
-                               supersample)
+    # The per-plane scan with unroll beats the slab-batched einsum variant on
+    # real TPU (smaller live intermediates); slab kept for reference/tests.
+    C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
+                           supersample, use_gamma, use_clip)
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
 
 
@@ -522,7 +532,15 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
     out_res = out_res or max(width, height)
     axis = dominant_axis(basis)
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
+    # Host-side static specialization on rarely-touched params: the reference
+    # viewer fixes gamma = 1.0 and ships near/far disabled by default
+    # (brats_viewer.py:132-133,422); toggling recompiles once per combo.
+    import numpy as _np
+
+    use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
+    use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
     return _render_sweep_axis(mods, seg if seg is not None else zeros,
                               pred if pred is not None else zeros,
                               basis, p, axis, width, height, out_res,
-                              supersample, seg is not None, pred is not None)
+                              supersample, seg is not None, pred is not None,
+                              use_gamma, use_clip)

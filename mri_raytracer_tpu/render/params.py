@@ -67,7 +67,10 @@ def default_render_params(vol_dims: Sequence[int],
     scale = world_extent / float(dims.max())
     voxel = (zooms * scale).astype(np.float32)
     vol_min = (-0.5 * voxel * dims).astype(np.float32)
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    # Leaves stay host-side numpy: per-frame transfer is tiny/async, and the
+    # renderer can read static-specialization flags (gamma==1, clip off)
+    # without a blocking device->host sync.
+    f32 = lambda x: np.asarray(x, np.float32)
     return BratsRenderParams(
         vol_min=f32(vol_min), voxel_size=f32(voxel), step_size=f32(step_size),
         near=f32(near), far=f32(far), bg_color=f32(bg_color),
