@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities, transfer_function
-from mri_raytracer_tpu.render.camera import CameraBasis, camera_rays
+from mri_raytracer_tpu.render.camera import CameraBasis, camera_rays, unpack_basis
 from mri_raytracer_tpu.render.params import BratsRenderParams
 
 _EPS = 1e-6
@@ -499,9 +499,10 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
                    static_argnames=("axis", "width", "height", "out_res",
                                     "supersample", "has_seg", "has_pred",
                                     "use_gamma", "use_clip"))
-def _render_sweep_axis(mods, seg, pred, basis, p, axis, width, height,
+def _render_sweep_axis(mods, seg, pred, basis_vec, p, axis, width, height,
                        out_res, supersample, has_seg, has_pred,
                        use_gamma=True, use_clip=True):
+    basis = unpack_basis(basis_vec)
     mixed = blend_modalities(mods, p.vol_enabled[: mods.shape[0]],
                              p.vol_weight[: mods.shape[0]])
     mixed_s = _perm_volume(mixed, axis)
@@ -515,11 +516,12 @@ def _render_sweep_axis(mods, seg, pred, basis, p, axis, width, height,
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
 
 
-def dominant_axis(basis: CameraBasis) -> int:
+def dominant_axis(basis) -> int:
     """Host-side choice of sweep axis (forward component largest)."""
     import numpy as np
 
-    f = np.abs(np.asarray(basis.forward))
+    fwd = basis.forward if isinstance(basis, CameraBasis) else basis[9:12]
+    f = np.abs(np.asarray(fwd))
     return int(np.argmax(f))
 
 
@@ -527,20 +529,23 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
                  pred: Optional[jnp.ndarray], basis: CameraBasis,
                  p: BratsRenderParams, width: int = 1024, height: int = 1024,
                  max_steps: int = 1024, out_res: Optional[int] = None,
-                 supersample: int = 1) -> jnp.ndarray:
+                 supersample: int = 1, use_gamma: Optional[bool] = None,
+                 use_clip: Optional[bool] = None) -> jnp.ndarray:
     """Drop-in fast replacement for raymarch_xla.render_brats."""
     out_res = out_res or max(width, height)
     axis = dominant_axis(basis)
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
-    # Host-side static specialization on rarely-touched params: the reference
-    # viewer fixes gamma = 1.0 and ships near/far disabled by default
-    # (brats_viewer.py:132-133,422); toggling recompiles once per combo.
-    import numpy as _np
+    if use_gamma is None or use_clip is None:
+        # Host-side static specialization on rarely-touched params: the
+        # reference viewer fixes gamma = 1.0 and ships near/far disabled
+        # (brats_viewer.py:132-133,422); toggling recompiles once per combo.
+        import numpy as _np
 
-    use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
-    use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
+        use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
+        use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
     return _render_sweep_axis(mods, seg if seg is not None else zeros,
                               pred if pred is not None else zeros,
-                              basis, p, axis, width, height, out_res,
+                              basis.pack() if isinstance(basis, CameraBasis) else basis,
+                              p, axis, width, height, out_res,
                               supersample, seg is not None, pred is not None,
                               use_gamma, use_clip)

@@ -53,13 +53,27 @@ class BratsRenderer:
         self._build()
 
     def _build(self) -> None:
+        self._p_cache = (None, None, None, None)
         if self.backend == "sweep":
             from mri_raytracer_tpu.ops import shearwarp
 
             def call(mods, seg, pred, basis, params):
+                # Cache the device copy of params + static flags per params
+                # object: an unchanged params pytree costs ZERO per-frame
+                # host->device transfers (the camera is one packed (13,)
+                # vector), which matters on high-latency device links.
+                pid = id(params)
+                if self._p_cache[0] != pid:
+                    use_gamma = abs(float(np.asarray(params.gamma)) - 1.0) > 1e-12
+                    use_clip = (float(np.asarray(params.near)) > 0.0
+                                or float(np.asarray(params.far)) > 0.0)
+                    self._p_cache = (pid, jax.device_put(params), use_gamma,
+                                     use_clip)
+                _, p_dev, use_gamma, use_clip = self._p_cache
                 return shearwarp.render_brats(
-                    mods, seg, pred, basis, params, self.width, self.height,
-                    out_res=self.sweep_res, supersample=self.supersample)
+                    mods, seg, pred, basis, p_dev, self.width, self.height,
+                    out_res=self.sweep_res, supersample=self.supersample,
+                    use_gamma=use_gamma, use_clip=use_clip)
         else:
             fn = raymarch_xla.render_brats
 

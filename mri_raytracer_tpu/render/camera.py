@@ -29,6 +29,18 @@ class CameraBasis(NamedTuple):
     forward: jnp.ndarray  # (3,) "W"
     fov_y: jnp.ndarray  # () radians
 
+    def pack(self) -> np.ndarray:
+        """Flatten to one (13,) vector (single-transfer frame update)."""
+        return np.concatenate([
+            np.asarray(self.eye, np.float32), np.asarray(self.right, np.float32),
+            np.asarray(self.up, np.float32), np.asarray(self.forward, np.float32),
+            np.asarray(self.fov_y, np.float32).reshape(1)])
+
+
+def unpack_basis(vec: jnp.ndarray) -> CameraBasis:
+    """In-graph inverse of ``CameraBasis.pack``."""
+    return CameraBasis(vec[0:3], vec[3:6], vec[6:9], vec[9:12], vec[12])
+
 
 class OrbitalCamera:
     """Spherical orbit / pan / zoom camera with arbitrary ``world_up``."""
@@ -111,9 +123,10 @@ class OrbitalCamera:
                 up.astype(np.float32), fwd.astype(np.float32))
 
     def basis(self) -> CameraBasis:
+        """Host-side (numpy) basis pytree; renderers pack it into a single
+        (13,) vector so each frame costs ONE host->device transfer."""
         eye, right, up, fwd = self.get_basis()
-        return CameraBasis(jnp.asarray(eye), jnp.asarray(right), jnp.asarray(up),
-                           jnp.asarray(fwd), jnp.asarray(self.fov_y, jnp.float32))
+        return CameraBasis(eye, right, up, fwd, np.float32(self.fov_y))
 
     # ------------------------------------------------------------ interaction
     def orbit(self, d_theta: float, d_phi: float) -> None:
