@@ -1,0 +1,150 @@
+"""Fused neural-field march: INR evaluated *inside* the renderer.
+
+The reference only ever bakes INR predictions to a label grid and renders
+that (mode 1, ``brats_viewer.py:250-310``); evaluating the MLP per sample
+inside the march was the stated goal (``docs/Goals.md:33-34``,
+``docs/Methodology-ROI...md:40-47``). Here it exists as mode 2 on the
+shear-warp sweep: per slice plane, the z-scored modality volumes are
+resampled by the same separable matmuls, normalized coordinates come for
+free from the plane geometry, and the INR runs as one (O^2, in_dim) MXU
+batch per plane — samples arrive pre-batched at MXU-friendly sizes, the
+exact remedy SURVEY §7.3 prescribes for tiny-MLP MXU efficiency.
+
+The predicted class per sample feeds the same LUT compositing as the baked
+``pred`` overlay (1.5x opacity), so mode 1 and mode 2 agree wherever the
+prediction field is locally constant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mri_raytracer_tpu.models.api import ModelBundle
+from mri_raytracer_tpu.ops import shearwarp as sw
+from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
+from mri_raytracer_tpu.render.camera import CameraBasis, unpack_basis
+from mri_raytracer_tpu.render.params import BratsRenderParams
+
+
+@functools.partial(jax.jit, static_argnames=("model", "axis", "width",
+                                             "height", "out_res", "has_seg"))
+def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
+                        model: ModelBundle, axis: int, width: int,
+                        height: int, out_res: int, has_seg: bool):
+    basis = unpack_basis(basis_vec)
+    M = mods_disp.shape[0]
+    mixed = blend_modalities(mods_disp, p.vol_enabled[:M], p.vol_weight[:M])
+    mixed_s = sw._perm_volume(mixed, axis)
+    modsz_s = jnp.stack([sw._perm_volume(mods_z[m], axis) for m in range(M)])
+    seg_s = sw._perm_volume(seg, axis) if has_seg else None
+    Nk, Na, Nb = mixed_s.shape
+    geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, out_res)
+    bmin = sw._permute3(p.vol_min, axis)
+    vox = sw._permute3(p.voxel_size, axis)
+    dims_perm = jnp.array([Nk, Na, Nb], jnp.float32)
+    # Map permuted index coords back to the volume's (x, y, z) order for the
+    # INR's normalized-coordinate convention (index/(dim-1)*2-1, reference
+    # ``sample_batch``): inverse permutation of (k, a, b).
+    inv_order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}[axis]
+
+    n_planes = Nk + 1
+    near_t = jnp.maximum(p.near, 0.0)
+    big = jnp.float32(3e38)
+    far_t = jnp.where(p.far > 0.0, p.far, big)
+    dt = geom.dt_map
+    show_pred = jnp.where(p.show_pred > 0, 1.0, 0.0)
+    show_seg = jnp.where(p.show_seg > 0, 1.0, 0.0)
+
+    ii = jnp.arange(out_res, dtype=jnp.float32)
+
+    def body(carry, m):
+        C, T = carry
+        mm = jnp.where(geom.flip, n_planes - 1 - m, m)
+        z = mm.astype(jnp.float32)
+        zq = jnp.clip(z, 0.0, Nk - 1.001)
+        z0 = jnp.floor(zq).astype(jnp.int32)
+        fz = zq - z0.astype(jnp.float32)
+        z1 = jnp.minimum(z0 + 1, Nk - 1)
+
+        w_k = bmin[0] + z * vox[0]
+        off_a, sc_a, lam = sw._inplane_affine(geom, 0, bmin[1], vox[1], w_k)
+        off_b, sc_b, _ = sw._inplane_affine(geom, 1, bmin[2], vox[2], w_k)
+        Wa, mask_a = sw.hat_matrix(off_a, sc_a, Na, out_res)
+        Wb, mask_b = sw.hat_matrix(off_b, sc_b, Nb, out_res)
+
+        def resample(vol_s):
+            sl = ((1.0 - fz) * jax.lax.dynamic_index_in_dim(vol_s, z0, 0, False)
+                  + fz * jax.lax.dynamic_index_in_dim(vol_s, z1, 0, False))
+            t1_ = jnp.dot(Wa.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            return jnp.dot(t1_.astype(jnp.bfloat16), Wb.T.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+        v = resample(mixed_s)
+        inplane = mask_a[:, None] * mask_b[None, :]
+        t_k = lam * geom.vmag
+        active = (inplane > 0.0) & (t_k >= near_t) & (t_k <= far_t) & (T > 0.01)
+        act = active.astype(jnp.float32)
+
+        val = sw.transfer_function(v, p.ww, p.wl, p.gamma)
+        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt)) * act
+        C, T = sw._composite(C, T, val[..., None], a)
+
+        if has_seg:
+            Wan = sw.nearest_matrix(off_a, sc_a, Na, out_res)
+            Wbn = sw.nearest_matrix(off_b, sc_b, Nb, out_res)
+            zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
+            lab = sw._nearest_resample(seg_s, zn, Wan, Wbn)
+            rgba = sw._lut_rgba(lab, p.lut)
+            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt)) * act * show_seg
+            C, T = sw._composite(C, T, rgba[..., :3], aS)
+
+        # --- fused INR evaluation at the crossing positions (mode 2)
+        intens = jnp.stack([resample(modsz_s[mi]) for mi in range(M)], -1)
+        pos_a = off_a + ii * sc_a  # (O,) permuted index coords
+        pos_b = off_b + ii * sc_b
+        idx_k = jnp.broadcast_to(z, (out_res, out_res))
+        idx_a = jnp.broadcast_to(pos_a[:, None], (out_res, out_res))
+        idx_b = jnp.broadcast_to(pos_b[None, :], (out_res, out_res))
+        perm_idx = (idx_k, idx_a, idx_b)
+        xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
+                         perm_idx[inv_order[2]]], axis=-1)
+        dims_xyz = jnp.stack([dims_perm[inv_order[0]], dims_perm[inv_order[1]],
+                              dims_perm[inv_order[2]]])
+        coords = (xyz / (dims_xyz - 1.0)) * 2.0 - 1.0
+        logits = model.apply(params, coords.reshape(-1, 3),
+                             intens.reshape(-1, M))
+        pred = jnp.argmax(logits, -1).reshape(out_res, out_res)
+        rgba = sw._lut_rgba(pred.astype(jnp.float32), p.lut)
+        aP = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * show_pred
+        C, T = sw._composite(C, T, rgba[..., :3], aP)
+        return (C, T), None
+
+    C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
+    T0 = jnp.ones((out_res, out_res), jnp.float32)
+    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes))
+    return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
+
+
+def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
+                        seg: Optional[jnp.ndarray], model: ModelBundle,
+                        params, basis: CameraBasis, p: BratsRenderParams,
+                        width: int = 512, height: int = 512,
+                        out_res: Optional[int] = None) -> jnp.ndarray:
+    """Mode-2 render: intensity + GT seg + LIVE INR prediction overlay.
+
+    mods_disp: display-normalized volumes (percentile) for the emission;
+    mods_zscore: z-scored volumes matching the INR's training normalization
+    (the dual-normalization contract, SURVEY §7.3).
+    """
+    out_res = out_res or max(width, height)
+    axis = sw.dominant_axis(basis)
+    zeros = jnp.zeros((1, 1, 1), jnp.int32)
+    return _render_neural_axis(
+        mods_disp, mods_zscore, seg if seg is not None else zeros, params,
+        basis.pack() if isinstance(basis, CameraBasis) else basis, p, model,
+        axis, width, height, out_res, seg is not None)

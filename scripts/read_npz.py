@@ -1,0 +1,14 @@
+#!/usr/bin/env python
+"""Checkpoint inspector CLI (reference scripts/read_npz.py parity)."""
+import sys
+
+from mri_raytracer_tpu.io.checkpoint import inspect_npz
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("usage: read_npz.py <checkpoint.npz> [...]")
+        sys.exit(1)
+    for path in sys.argv[1:]:
+        print(f"== {path}")
+        for line in inspect_npz(path):
+            print("  " + line)

@@ -1,0 +1,108 @@
+"""CLI apps (headless) + notebook viewer rendering logic."""
+
+import numpy as np
+import pytest
+
+from mri_raytracer_tpu.data import synthetic, brats
+from mri_raytracer_tpu.render import widgets
+
+
+def test_brats_app_synthetic(tmp_path):
+    from mri_raytracer_tpu.apps import brats_app
+
+    rc = brats_app.main(["--synthetic", "--synthetic-shape", "24,24,20",
+                         "--width", "40", "--height", "40", "--frames", "2",
+                         "--out", str(tmp_path / "r")])
+    assert rc == 0
+    assert (tmp_path / "r" / "frame_0000.png").exists()
+    assert (tmp_path / "r" / "frame_0001.png").exists()
+
+
+def test_brats_app_with_inr(tmp_path):
+    from mri_raytracer_tpu.apps import brats_app
+    from mri_raytracer_tpu.config import TrainConfig
+    from mri_raytracer_tpu.train.engine import train_inr
+
+    root = tmp_path / "data"
+    synthetic.write_synthetic_dataset(root, num_cases=2, shape=(12, 12, 10))
+    c = TrainConfig()
+    c.data.data_root = str(root)
+    c.data.case_limit = 2
+    c.data.num_folds = 2
+    c.data.pool_size = 1
+    c.model.hidden_dims = (8,)
+    c.model.fourier_freqs = 1
+    c.train_steps = 2
+    c.global_batch = 64
+    c.micro_batch = 64
+    c.checkpoint_every = 0
+    c.out_dir = str(tmp_path / "run")
+    state = train_inr(c)
+
+    case_dir = sorted(root.iterdir())[0]
+    rc = brats_app.main(["--case-dir", str(case_dir), "--width", "32",
+                         "--height", "32", "--frames", "1",
+                         "--inr-checkpoint", state["checkpoint"],
+                         "--out", str(tmp_path / "r2")])
+    assert rc == 0
+
+
+def test_volume_app(tmp_path):
+    from mri_raytracer_tpu.apps import volume_app
+
+    rc = volume_app.main(["--synthetic", "--width", "32", "--height", "32",
+                          "--frames", "2", "--steps", "16",
+                          "--out", str(tmp_path / "v")])
+    assert rc == 0
+    assert (tmp_path / "v" / "frame_0001.png").exists()
+
+
+def test_mesh_app(tmp_path):
+    from mri_raytracer_tpu.apps import mesh_app
+
+    rc = mesh_app.main(["--width", "32", "--height", "32", "--frames", "1",
+                        "--out", str(tmp_path / "m")])
+    assert rc == 0
+
+
+def test_sdf_app(tmp_path):
+    from mri_raytracer_tpu.apps import sdf_app
+
+    rc = sdf_app.main(["--width", "32", "--height", "32", "--frames", "1",
+                       "--max-steps", "32", "--out", str(tmp_path / "s")])
+    assert rc == 0
+
+
+def test_slice_viewer_rendering():
+    mods, seg = synthetic.synthetic_case((16, 16, 12), seed=0)
+    disp = np.stack([brats.percentile_normalize(m) for m in mods])
+    v = widgets.SliceViewer(disp, seg=seg, pred=seg)
+    img = v.render_slice("axial", 6, weights=[1, 0.5, 0, 0], ww=0.8, wl=0.4)
+    assert img.shape == (16, 16, 3)
+    assert img.min() >= 0 and img.max() <= 1.0 + 1e-6
+    multi = v.render_multiview(0.5)
+    assert multi.shape[1] > multi.shape[0]  # 3 panels side by side
+    # overlay actually colors tumor voxels
+    plain = v.render_slice("axial", 6, show_seg=False)
+    assert np.abs(img - plain).max() > 0.05
+
+
+def test_holdout_viewer(tmp_path):
+    import jax
+
+    from mri_raytracer_tpu.config import ModelConfig
+    from mri_raytracer_tpu.models.api import build_model
+
+    mods, seg = synthetic.synthetic_case((12, 12, 10), seed=1)
+    zsc = np.stack([brats.zscore_nonzero(m.copy()) for m in mods])
+    cfg = ModelConfig(hidden_dims=(8,), fourier_freqs=1)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(0))
+    hv = widgets.HoldoutViewer(model, params,
+                               [{"mods": zsc, "seg": seg, "name": "syn0"}])
+    rep = hv.slice_report(0, 5)
+    assert np.isfinite(rep["macro_dice"]) or np.isnan(rep["macro_dice"])
+    img = hv.render(0, 5)
+    assert img.shape == (12, 24, 3)
+    # cached
+    assert 0 in hv._pred_cache
