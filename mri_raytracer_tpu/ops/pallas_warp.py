@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: homography warp of the sweep intermediate to screen.
+
+The XLA fallback warps via one 12-float row-gather per pixel (~8 ms at
+1024^2 through XLA's gather path). This kernel removes the gather entirely:
+
+  * grid = output tiles of 1024 pixels (8 x 128 blocks, pre-flattened on
+    the XLA side so the kernel only ever sees layout-friendly 2-D shapes);
+  * per tile, the source footprint of the (smooth) homography is a small
+    rectangle — its start offsets are precomputed and scalar-prefetched so
+    the kernel DMAs a static (3, 32, 256) window of the channels-major
+    intermediate from HBM into VMEM;
+  * bilinear interpolation = hat-weight algebra on the MXU/VPU:
+        wj (win_j, P) from a sublane-broadcast + iota compare,
+        tmp = W @ wj            (matmul, (win_i, win_j) x (win_j, P))
+        out = sum_k wi * tmp    (VPU columnwise reduction)
+    — zero gathers, zero in-kernel reshapes/transposes.
+
+Tiles whose footprint exceeds the window (extreme minification) are detected
+on the XLA side; the caller falls back to the gather warp for that frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_I, TILE_J = 8, 128
+PIX = TILE_I * TILE_J  # pixels per tile (one kernel invocation)
+WIN_I, WIN_J = 32, 384
+
+
+def _make_warp_kernel(win_i: int, win_j: int, group: int):
+    GROUP = group
+
+    def _warp_kernel(starts_ref, imap_ref, jmap_ref, chbm_ref, out_ref,
+                     win_ref, sem_ref):
+        t = pl.program_id(0)
+        kI = jax.lax.broadcasted_iota(jnp.int32, (win_i, PIX), 0) \
+            .astype(jnp.float32)
+        kJ = jax.lax.broadcasted_iota(jnp.int32, (win_j, PIX), 0) \
+            .astype(jnp.float32)
+
+        for g in range(GROUP):
+            si = pl.multiple_of(starts_ref[t * GROUP + g, 0], 8)
+            sj = pl.multiple_of(starts_ref[t * GROUP + g, 1], 128)
+            dma = pltpu.make_async_copy(
+                chbm_ref.at[:, pl.ds(si, win_i), pl.ds(sj, win_j)], win_ref,
+                sem_ref)
+            dma.start()
+            dma.wait()
+
+            li = imap_ref[g:g + 1, :] - si.astype(jnp.float32)  # (1, P)
+            lj = jmap_ref[g:g + 1, :] - sj.astype(jnp.float32)
+            # Hat weights, (win, P): sublane-broadcast of the pixel row
+            # against an iota over window rows (layout-friendly throughout).
+            wi = jnp.maximum(0.0, 1.0 - jnp.abs(li - kI))
+            wj = jnp.maximum(0.0, 1.0 - jnp.abs(lj - kJ))
+
+            for ch in range(3):
+                w = win_ref[ch]  # (win_i, win_j)
+                tmp = jnp.dot(w, wj, preferred_element_type=jnp.float32)
+                out_ref[ch, g:g + 1, :] = jnp.sum(wi * tmp, axis=0,
+                                                  keepdims=True)
+
+    return _warp_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
+                height: int, width: int,
+                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """C3 (3, O, O) channels-major intermediate; i_map/j_map (H, W) source
+    coordinates. Returns (out (H, W, 3), fits () bool). ``out`` is valid only
+    where ``fits`` (caller falls back otherwise)."""
+    O = C3.shape[1]
+    win_i = min(WIN_I, O)
+    win_j = min(WIN_J, O)
+    nTi = height // TILE_I
+    nTj = width // TILE_J
+    nT = nTi * nTj
+    # Blocks need sublane divisibility by 8 (or the full array dimension).
+    group = 8 if nT % 8 == 0 else nT
+    assert nT <= 8 or nT % 8 == 0, f"unsupported tile count {nT}"
+
+    def tiles(m):
+        """(H, W) -> (nT, PIX): per-tile row-major pixel flattening."""
+        return (m.reshape(nTi, TILE_I, nTj, TILE_J)
+                .transpose(0, 2, 1, 3).reshape(nT, PIX))
+
+    it = tiles(i_map)
+    jt = tiles(j_map)
+    imin = jnp.floor(it.min(axis=1))
+    imax = jnp.floor(it.max(axis=1)) + 1.0
+    jmin = jnp.floor(jt.min(axis=1))
+    jmax = jnp.floor(jt.max(axis=1)) + 1.0
+    # DMA offsets must be tile-aligned (8 sublanes / 128 lanes); the window
+    # absorbs the alignment slack, so the usable footprint shrinks by it —
+    # except when the window spans the whole axis (start is always 0).
+    slack_i = 8 if win_i < O else 0
+    slack_j = 128 if win_j < O else 0
+    fits = jnp.all((imax - imin) < win_i - 1 - slack_i) & \
+        jnp.all((jmax - jmin) < win_j - 1 - slack_j)
+    si = (jnp.clip(imin, 0, max(O - win_i, 0)).astype(jnp.int32) // 8) * 8
+    sj = (jnp.clip(jmin, 0, max(O - win_j, 0)).astype(jnp.int32) // 128) * 128
+    starts = jnp.stack([si, sj], axis=-1)  # (nT, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nT // group,),
+        in_specs=[
+            pl.BlockSpec((group, PIX), lambda t, s: (t, 0)),
+            pl.BlockSpec((group, PIX), lambda t, s: (t, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, group, PIX), lambda t, s: (0, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, win_i, win_j), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _make_warp_kernel(win_i, win_j, group),
+        out_shape=jax.ShapeDtypeStruct((3, nT, PIX), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, it, jt, C3)
+    # Reassemble tile-flattened pixels -> (H, W, 3) on the XLA side.
+    out = (out.reshape(3, nTi, nTj, TILE_I, TILE_J)
+           .transpose(1, 3, 2, 4, 0).reshape(height, width, 3))
+    return out, fits

@@ -447,13 +447,14 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 # ---------------------------------------------------------------- final warp
 def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
                    axis: int, width: int, height: int,
-                   bg: jnp.ndarray) -> jnp.ndarray:
+                   bg: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """Homography warp intermediate -> screen.
 
     Screen pixel ray (unit d, permuted): hits the base plane at
     t = (w_base - e_k)/d_k; in-plane coords -> intermediate (i, j).
-    v1 uses two-gather bilinear (take_along_axis); a Pallas tile-matmul warp
-    replaces this on the TPU fast path.
+    Two implementations: a row-gather bilinear (portable) and a Pallas
+    tile-matmul kernel (ops/pallas_warp) selected on TPU whenever every
+    tile's source footprint fits the kernel window (lax.cond at runtime).
     """
     O = C.shape[0]
     ro, rd = camera_rays(basis, width, height)  # (H,W,3) world
@@ -471,25 +472,35 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
     valid = (t_base > 0.0) & (i_map >= 0.0) & (i_map <= O - 1) & \
             (j_map >= 0.0) & (j_map <= O - 1)
 
-    i0 = jnp.clip(jnp.floor(i_map).astype(jnp.int32), 0, O - 2)
-    j0 = jnp.clip(jnp.floor(j_map).astype(jnp.int32), 0, O - 2)
-    fi = jnp.clip(i_map - i0, 0.0, 1.0)
-    fj = jnp.clip(j_map - j0, 0.0, 1.0)
+    def gather_warp(C, i_map, j_map):
+        # ONE row-gather per output pixel: pre-concat the 4 bilinear
+        # corners' RGB into 12-float rows (a wide-row take measures ~3x
+        # faster than four separate 3-float takes on TPU).
+        i0 = jnp.clip(jnp.floor(i_map).astype(jnp.int32), 0, O - 2)
+        j0 = jnp.clip(jnp.floor(j_map).astype(jnp.int32), 0, O - 2)
+        fi = jnp.clip(i_map - i0, 0.0, 1.0)
+        fj = jnp.clip(j_map - j0, 0.0, 1.0)
+        C2 = jnp.concatenate([C[:, :-1], C[:, 1:]], axis=-1)  # (O, O-1, 6)
+        C4 = jnp.concatenate([C2[:-1], C2[1:]], axis=-1)  # (O-1, O-1, 12)
+        quad = jnp.take(C4.reshape((O - 1) * (O - 1), 12),
+                        (i0 * (O - 1) + j0).reshape(-1), axis=0)
+        quad = quad.reshape(height, width, 4, 3)
+        w00 = ((1 - fi) * (1 - fj))[..., None]
+        w01 = ((1 - fi) * fj)[..., None]
+        w10 = (fi * (1 - fj))[..., None]
+        w11 = (fi * fj)[..., None]
+        return (quad[..., 0, :] * w00 + quad[..., 1, :] * w01
+                + quad[..., 2, :] * w10 + quad[..., 3, :] * w11)
 
-    # ONE row-gather per output pixel: pre-concat the 4 bilinear corners'
-    # RGB into 12-float rows (take of wide rows measures ~3x faster than
-    # four separate 3-float takes on TPU).
-    C2 = jnp.concatenate([C[:, :-1], C[:, 1:]], axis=-1)  # (O, O-1, 6)
-    C4 = jnp.concatenate([C2[:-1], C2[1:]], axis=-1)  # (O-1, O-1, 12)
-    quad = jnp.take(C4.reshape((O - 1) * (O - 1), 12),
-                    (i0 * (O - 1) + j0).reshape(-1), axis=0)
-    quad = quad.reshape(height, width, 4, 3)
-    w00 = ((1 - fi) * (1 - fj))[..., None]
-    w01 = ((1 - fi) * fj)[..., None]
-    w10 = (fi * (1 - fj))[..., None]
-    w11 = (fi * fj)[..., None]
-    out = (quad[..., 0, :] * w00 + quad[..., 1, :] * w01
-           + quad[..., 2, :] * w10 + quad[..., 3, :] * w11)
+    if use_pallas and height % 16 == 0 and width % 128 == 0:
+        from mri_raytracer_tpu.ops.pallas_warp import warp_pallas
+
+        C3 = jnp.moveaxis(C, -1, 0)
+        out_p, fits = warp_pallas(C3, i_map, j_map, height, width)
+        out = jax.lax.cond(fits, lambda: out_p,
+                           lambda: gather_warp(C, i_map, j_map))
+    else:
+        out = gather_warp(C, i_map, j_map)
     out = jnp.where(valid[..., None], out, 0.0)
     return bg[None, None, :] + out
 
@@ -498,10 +509,10 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
 @functools.partial(jax.jit,
                    static_argnames=("axis", "width", "height", "out_res",
                                     "supersample", "has_seg", "has_pred",
-                                    "use_gamma", "use_clip"))
+                                    "use_gamma", "use_clip", "use_pallas"))
 def _render_sweep_axis(mods, seg, pred, basis_vec, p, axis, width, height,
                        out_res, supersample, has_seg, has_pred,
-                       use_gamma=True, use_clip=True):
+                       use_gamma=True, use_clip=True, use_pallas=False):
     basis = unpack_basis(basis_vec)
     mixed = blend_modalities(mods, p.vol_enabled[: mods.shape[0]],
                              p.vol_weight[: mods.shape[0]])
@@ -513,7 +524,8 @@ def _render_sweep_axis(mods, seg, pred, basis_vec, p, axis, width, height,
     # real TPU (smaller live intermediates); slab kept for reference/tests.
     C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
                            supersample, use_gamma, use_clip)
-    return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
+    return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
+                          use_pallas=use_pallas)
 
 
 def dominant_axis(basis) -> int:
@@ -543,9 +555,10 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
 
         use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
         use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
+    use_pallas = jax.default_backend() == "tpu"
     return _render_sweep_axis(mods, seg if seg is not None else zeros,
                               pred if pred is not None else zeros,
                               basis.pack() if isinstance(basis, CameraBasis) else basis,
                               p, axis, width, height, out_res,
                               supersample, seg is not None, pred is not None,
-                              use_gamma, use_clip)
+                              use_gamma, use_clip, use_pallas)
