@@ -195,17 +195,42 @@ def sample_hybrid(key, mods_pool, segs_pool, batch: int,
 
 def make_sampler(kind: str, batch: int, tumor_ratio: float = 0.5,
                  min_counts: Optional[Tuple[int, int, int]] = None,
-                 uncertainty_fn: Optional[Callable] = None):
-    """Sampler factory keyed by DataConfig.sampler."""
+                 model=None, mc_dropout: int = 4):
+    """Sampler factory keyed by DataConfig.sampler.
+
+    All samplers share the protocol ``fn(key, mods, segs, params=None)``;
+    only 'hybrid' uses ``params`` — it scores candidate voxels by MC-dropout
+    predictive entropy of the CURRENT model inside the jitted step (reference
+    D13 wiring the engine could not do host-side).
+    """
     if kind == "uniform":
-        return functools.partial(sample_uniform, batch=batch)
+        return lambda key, mods, segs, params=None: \
+            sample_uniform(key, mods, segs, batch)
     if kind == "tumor":
-        return functools.partial(sample_tumor_biased, batch=batch, tumor_ratio=tumor_ratio)
+        return lambda key, mods, segs, params=None: \
+            sample_tumor_biased(key, mods, segs, batch, tumor_ratio)
     if kind == "balanced":
         mc = min_counts or (batch // 8, batch // 8, batch // 8)
-        return functools.partial(sample_class_balanced, batch=batch, min_counts=mc)
+        return lambda key, mods, segs, params=None: \
+            sample_class_balanced(key, mods, segs, batch, mc)
     if kind == "hybrid":
-        return functools.partial(sample_hybrid, batch=batch, uncertainty_fn=uncertainty_fn)
+        def hybrid(key, mods, segs, params=None):
+            ufn = None
+            if params is not None and model is not None:
+                def ufn(coords, intens):
+                    keys = jax.random.split(jax.random.fold_in(key, 7), mc_dropout)
+
+                    def one(k):
+                        logits = model.apply(params, coords, intens, rng=k,
+                                             train=True)
+                        return jax.nn.softmax(logits, axis=-1)
+
+                    probs = jnp.mean(jax.vmap(one)(keys), axis=0)
+                    return -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
+
+            return sample_hybrid(key, mods, segs, batch, uncertainty_fn=ufn)
+
+        return hybrid
     raise ValueError(f"unknown sampler {kind!r}")
 
 

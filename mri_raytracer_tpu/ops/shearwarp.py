@@ -199,10 +199,15 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     pred_s: Optional[jnp.ndarray], geom: SweepGeom,
                     p: BratsRenderParams, axis: int, out_res: int,
                     supersample: int = 1, use_gamma: bool = True,
-                    use_clip: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    use_clip: bool = True,
+                    out_cols: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan over slice planes; returns intermediate (O,O,3) emission and
     (O,O) transmittance. Volumes are pre-permuted to (K, A, B)."""
     Nk, Na, Nb = mixed_s.shape
+    # ``out_cols`` < out_res composites only a column stripe of the
+    # intermediate (spatial sharding: geom must carry pre-sliced
+    # vmag/dt_map and a b0 shifted by j0*db — see parallel/render.py).
+    cols = out_cols or out_res
     bmin = _permute3(p.vol_min, axis)
     vox = _permute3(p.voxel_size, axis)
     # Planes cover the FULL box depth, index z in [0, Nk] (the box spans
@@ -232,7 +237,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         off_a, sc_a, lam = _inplane_affine(geom, 0, bmin[1], vox[1], w_k)
         off_b, sc_b, _ = _inplane_affine(geom, 1, bmin[2], vox[2], w_k)
         Wa, mask_a = hat_matrix(off_a, sc_a, Na, out_res)
-        Wb, mask_b = hat_matrix(off_b, sc_b, Nb, out_res)
+        Wb, mask_b = hat_matrix(off_b, sc_b, Nb, cols)
 
         # z-lerp the two bracketing slices, then separable in-plane resample
         # (linear ops commute => exact trilinear at the crossing position).
@@ -266,7 +271,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
         if seg_s is not None:
             Wan = nearest_matrix(off_a, sc_a, Na, out_res)
-            Wbn = nearest_matrix(off_b, sc_b, Nb, out_res)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, cols)
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             lab = _nearest_resample(seg_s, zn, Wan, Wbn)
             rgba = _lut_rgba(lab, p.lut)
@@ -281,7 +286,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                 C, T = _composite(C, T, rgba[..., :3], a)
         elif pred_s is not None:
             Wan = nearest_matrix(off_a, sc_a, Na, out_res)
-            Wbn = nearest_matrix(off_b, sc_b, Nb, out_res)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, cols)
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             labp = _nearest_resample(pred_s, zn, Wan, Wbn)
             rgba = _lut_rgba(labp, p.lut)
@@ -291,8 +296,8 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
         return (C, T), None
 
-    C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
-    T0 = jnp.ones((out_res, out_res), jnp.float32)
+    C0 = jnp.zeros((out_res, cols, 3), jnp.float32)
+    T0 = jnp.ones((out_res, cols), jnp.float32)
     # unroll=2 lets XLA fuse adjacent planes' compositing chains, halving
     # C/T HBM round-trips (measured ~20% frame win; higher unrolls regress).
     (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes), unroll=2)

@@ -80,7 +80,7 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
     accum_steps = max(1, -(-config.global_batch // (config.micro_batch * dp)))
     micro = config.micro_batch
     sampler = sampling.make_sampler(dc.sampler, micro, dc.tumor_ratio,
-                                    dc.min_subclass_samples)
+                                    dc.min_subclass_samples, model=model)
     coord_noise = steps.make_coord_noise_schedule(
         config.optim.coord_noise_sigma_start, config.optim.coord_noise_sigma_end,
         config.train_steps)

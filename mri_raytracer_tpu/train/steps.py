@@ -29,14 +29,25 @@ class StepMetrics(NamedTuple):
     ce_per_class: jnp.ndarray
 
 
-def make_loss(model: ModelBundle, loss_cfg: LossConfig):
+def make_loss(model: ModelBundle, loss_cfg: LossConfig,
+              tv_patch: int = 24):
     num_classes = model.cfg.num_classes
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, tv_batch=None):
         logits = model.apply(params, batch.coords, batch.intensities, rng=rng,
                              train=True, freq_dropout=loss_cfg.freq_dropout)
-        return losses.segmentation_loss(logits, batch.labels, loss_cfg,
-                                        num_classes, batch.weights)
+        total, aux = losses.segmentation_loss(logits, batch.labels, loss_cfg,
+                                              num_classes, batch.weights)
+        if loss_cfg.tv_weight > 0.0 and tv_batch is not None:
+            # Spatial-coherence TV on a predicted probability patch
+            # (reference L8): tv_batch carries an in-plane coords/intensity
+            # grid of (P, P) voxels.
+            tv_coords, tv_intens = tv_batch
+            P = int(round(tv_coords.shape[0] ** 0.5))
+            tv_logits = model.apply(params, tv_coords, tv_intens)
+            probs = jax.nn.softmax(tv_logits, -1).reshape(P, P, num_classes)
+            total = total + loss_cfg.tv_weight * losses.tv_loss_slice(probs)
+        return total, aux
 
     return loss_fn
 
@@ -54,16 +65,40 @@ def build_train_step(model: ModelBundle, loss_cfg: LossConfig,
     annealed sigma). ``grad_psum_axis`` turns the same step into the
     data-parallel shard_map body (gradients psum'd across the mesh axis).
     """
-    loss_fn = make_loss(model, loss_cfg)
+    tv_patch = 24
+    loss_fn = make_loss(model, loss_cfg, tv_patch)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def sample_tv_patch(key, mods_pool, segs_pool):
+        """(P*P, 3) coords + (P*P, M) intensities of a random axial patch."""
+        Pn, M, H, W, D = mods_pool.shape
+        P = min(tv_patch, H, W)
+        kc, kx, ky, kz = jax.random.split(key, 4)
+        ci = jax.random.randint(kc, (), 0, Pn)
+        x0 = jax.random.randint(kx, (), 0, max(H - P, 1))
+        y0 = jax.random.randint(ky, (), 0, max(W - P, 1))
+        z = jax.random.randint(kz, (), 0, D)
+        patch = jax.lax.dynamic_slice(mods_pool, (ci, 0, x0, y0, z),
+                                      (1, M, P, P, 1))[0, :, :, :, 0]
+        intens = jnp.moveaxis(patch, 0, -1).reshape(-1, M)
+        xs = (x0 + jnp.arange(P)).astype(jnp.float32)
+        ys = (y0 + jnp.arange(P)).astype(jnp.float32)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+        gz = jnp.full_like(gx, z.astype(jnp.float32))
+        coords = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+        dims = jnp.array([H - 1, W - 1, D - 1], jnp.float32)
+        return (coords / dims) * 2.0 - 1.0, intens
 
     def one_micro(params, key, mods_pool, segs_pool, sigma):
         k_samp, k_noise, k_loss = jax.random.split(key, 3)
-        batch = sampler(k_samp, mods_pool, segs_pool)
+        batch = sampler(k_samp, mods_pool, segs_pool, params)
         if coord_noise is not None:
             noise = jax.random.normal(k_noise, batch.coords.shape) * sigma
             batch = batch._replace(coords=batch.coords + noise)
-        (l, aux), g = grad_fn(params, batch, k_loss)
+        tv_batch = (sample_tv_patch(jax.random.fold_in(key, 3), mods_pool,
+                                    segs_pool)
+                    if loss_cfg.tv_weight > 0.0 else None)
+        (l, aux), g = grad_fn(params, batch, k_loss, tv_batch)
         return l, aux, g
 
     def step(params, opt_state, key, mods_pool, segs_pool, step_idx):

@@ -79,3 +79,30 @@ def test_dp_matches_single_device_semantics(dataset, tmp_path):
     l2 = cfgs[1]["history"][-1]["loss"]
     assert np.isfinite(l1) and np.isfinite(l2)
     assert abs(l1 - l2) < max(1.0, 0.8 * max(l1, l2))
+
+
+def test_sharded_render_matches_single_device(dataset):
+    """Column-sharded sweep render == unsharded render (exact ray ownership,
+    one all_gather before the warp)."""
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.data import brats, cache, synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    SHAPE = (16, 16, 12)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=2)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m) for m in mods]))
+    seg_j = jnp.asarray(seg.astype(np.int32))
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.1)
+
+    mesh = mesh_mod.make_mesh(data=1, space=4)
+    render = prender.build_sharded_renderer(mesh, SHAPE, 64, 64, out_res=64,
+                                            has_seg=True, has_pred=False)
+    img_sharded = np.asarray(render(disp, seg_j, None, cam.basis(), p))
+    img_single = np.asarray(sw.render_brats(disp, seg_j, None, cam.basis(),
+                                            p, 64, 64, out_res=64))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)

@@ -161,3 +161,33 @@ def test_inspect_npz(tmp_path):
     ckpt.save_flat([{"W": np.ones((3, 2)), "b": np.zeros(2)}], p)
     lines = ckpt.inspect_npz(p)
     assert any("W_0" in l for l in lines)
+
+
+def test_hybrid_sampler_training(dataset, tmp_path):
+    """Hybrid (MC-dropout uncertainty) sampler runs in-graph with live params."""
+    c = _tiny_config(dataset, tmp_path)
+    c.data.sampler = "hybrid"
+    c.model.kind = "coord_injection"
+    c.model.dropout = 0.2
+    c.train_steps = 3
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_tv_loss_training(dataset, tmp_path):
+    """Spatial-coherence TV patch loss (reference L8) in the jitted step."""
+    c = _tiny_config(dataset, tmp_path)
+    c.loss.tv_weight = 0.1
+    c.train_steps = 3
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_two_stage_schedule_training(dataset, tmp_path):
+    c = _tiny_config(dataset, tmp_path)
+    c.optim.schedule = "two_stage"
+    c.optim.coord_noise_sigma_start = 0.3
+    c.optim.coord_noise_sigma_end = 0.1
+    c.train_steps = 4
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
