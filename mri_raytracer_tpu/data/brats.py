@@ -11,7 +11,7 @@ Two normalization modes coexist in the reference and must stay distinct
 from __future__ import annotations
 
 import pathlib
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import collections
 import pathlib
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import csv
 import pathlib
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from mri_raytracer_tpu.data.brats import MODALITY_SUFFIXES
 

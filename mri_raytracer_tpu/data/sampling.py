@@ -22,7 +22,6 @@ labels (B,), weights (B,))`` with coords normalized to [-1, 1] per axis
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -9,7 +9,7 @@ round-trips, MXU-sized batches.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Implemented in flax.linen (idiomatic JAX): batch stats live in a
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

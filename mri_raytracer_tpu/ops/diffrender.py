@@ -20,7 +20,6 @@ isosurface implicit differentiation (§10) in ``ops/isosurface.py``.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ yields exactly the doc's implicit-function gradient
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

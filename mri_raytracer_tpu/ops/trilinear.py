@@ -17,8 +17,6 @@ positions — required by the differentiable-rendering path.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -10,11 +10,9 @@ and metrics ``pmean`` over the ``data`` axis. Scales to multi-host unchanged
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 

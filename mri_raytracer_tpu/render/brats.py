@@ -15,7 +15,6 @@ Backends:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -24,7 +23,7 @@ import numpy as np
 
 from mri_raytracer_tpu.ops import raymarch_xla
 from mri_raytracer_tpu.render.camera import CameraBasis, OrbitalCamera
-from mri_raytracer_tpu.render.params import BratsRenderParams, default_render_params
+from mri_raytracer_tpu.render.params import BratsRenderParams
 
 
 def _resolve_backend(backend: str) -> str:

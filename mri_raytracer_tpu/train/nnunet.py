@@ -14,7 +14,7 @@ import json
 import os
 import pathlib
 import shutil
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -10,15 +10,14 @@ preconditioning (T7) — all on device. Host involvement per step: one RNG key.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from mri_raytracer_tpu import losses
-from mri_raytracer_tpu.config import LossConfig, OptimConfig
+from mri_raytracer_tpu.config import LossConfig
 from mri_raytracer_tpu.models.api import ModelBundle
 
 

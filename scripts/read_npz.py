@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Checkpoint inspector CLI (reference scripts/read_npz.py parity)."""
 import sys
+import pathlib as _pl
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 
 from mri_raytracer_tpu.io.checkpoint import inspect_npz
 

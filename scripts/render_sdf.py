@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """CLI wrapper: SDF sphere tracer."""
 import sys
+import pathlib as _pl
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 from mri_raytracer_tpu.apps.sdf_app import main
 
 if __name__ == "__main__":

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """CLI training entry point (reference scripts/jax_inr_brats.py parity)."""
 import sys
+import pathlib as _pl
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 
 from mri_raytracer_tpu.config import TrainConfig
 from mri_raytracer_tpu.train.engine import train_inr
