@@ -103,6 +103,7 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
     # ------------------------------------------------------------ hot loop
     t_start = time.time()
     history = []
+    best_val = {"mean_dice": -1.0, "step": -1}
     for step in range(1, config.train_steps + 1):
         dev_pool.maybe_refresh(step, dc.pool_refresh)
         key, k_step = jax.random.split(key)
@@ -124,6 +125,29 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
                 ckpt.save_flat(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
             else:
                 ckpt.save_object(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
+        # Periodic validation + slice viz + best-checkpoint tracking
+        # (reference T1: predict_slice every N steps, best save after val).
+        if (config.eval_every > 0 and step % config.eval_every == 0
+                and val_cache is not None and val_cache.n_cases > 0):
+            case0 = val_cache.get(0)
+            mods_j = jnp.asarray(case0["mods"], jnp.float32)
+            z_mid = case0["seg"].shape[-1] // 2
+            pred_slice = inference.predict_slice(model, params, mods_j, z_mid)
+            from mri_raytracer_tpu.eval import metrics as _metrics
+
+            sl_dice = _metrics.macro_slice_dice(pred_slice,
+                                                case0["seg"][:, :, z_mid])
+            _, agg = inference.evaluate_cases(
+                model, params, [val_cache.get(i)
+                                for i in range(min(val_cache.n_cases, 2))],
+                num_classes=config.model.num_classes)
+            md = agg["mean_dice"][0]
+            logger.log({"val/mean_dice": md, "val/slice_dice_mid": sl_dice},
+                       step)
+            if np.isfinite(md) and md > best_val["mean_dice"]:
+                best_val = {"mean_dice": md, "step": step}
+                ckpt.save_object(params, out_dir / f"{config.run_name}_best.npz",
+                                 info={"step": step, "val_mean_dice": md})
     train_time = time.time() - t_start
 
     # ---------------------------------------------------------- final save

@@ -191,3 +191,15 @@ def test_two_stage_schedule_training(dataset, tmp_path):
     c.train_steps = 4
     state = engine.train_inr(c)
     assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_periodic_eval_and_best_checkpoint(dataset, tmp_path):
+    """eval_every triggers mid-training validation + best-checkpoint save."""
+    c = _tiny_config(dataset, tmp_path)
+    c.eval_every = 6
+    c.train_steps = 12
+    state = engine.train_inr(c)
+    best = tmp_path / "run" / f"{c.run_name}_best.npz"
+    assert best.exists()
+    params, info = ckpt.model_load(best)
+    assert "val_mean_dice" in info
