@@ -49,22 +49,20 @@ class RAMCache:
         modalities = load_kw.get("modalities", brats.MODALITY_SUFFIXES)
         seg_suffix = load_kw.get("seg_suffix", brats.SEG_SUFFIX)
         remap = load_kw.get("remap", True)
-        paths, metas = [], []
+        mod_paths, seg_paths, metas = [], [], []
         for cp in self.case_paths:
             base = pathlib.Path(cp).name
             mods = [pathlib.Path(cp) / f"{base}-{m}.nii.gz" for m in modalities]
             seg = pathlib.Path(cp) / f"{base}-{seg_suffix}.nii.gz"
             if not all(m.exists() for m in mods) or not seg.exists():
                 return False
-            paths.extend(mods)
-            paths.append(seg)
+            mod_paths.extend(mods)
+            seg_paths.append(seg)
             metas.append((base, len(mods)))
-        results = native.load_nifti_batch(paths, zscore=True,
+        # Modalities z-scored; seg volumes loaded raw in their own batch
+        # (never normalized, never loaded twice).
+        results = native.load_nifti_batch(mod_paths, zscore=True,
                                           max_voxels=300 ** 3, n_threads=8)
-        # Seg volumes must NOT be normalized; reload them raw in one pass.
-        it = iter(results)
-        seg_paths = [p for i, p in enumerate(paths)
-                     if (i + 1) % (len(brats.MODALITY_SUFFIXES) + 1) == 0]
         seg_results = native.load_nifti_batch(seg_paths, zscore=False,
                                               max_voxels=300 ** 3, n_threads=8)
         k = 0
@@ -76,7 +74,6 @@ class RAMCache:
                 if item is None:
                     return False
                 vols.append(item[0])
-            k += 1  # skip the (normalized) seg slot
             seg_item = seg_results[ci]
             if seg_item is None:
                 return False

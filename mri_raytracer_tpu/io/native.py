@@ -99,33 +99,43 @@ def load_nifti_batch(paths: Sequence[pathlib.Path], zscore: bool = True,
             res.append((arr, arr.shape))
         return res
 
+    # Bounded-chunk processing: the max_voxels staging buffers (~108 MB each
+    # at the cache's 300^3 setting) and the compressed raws are reused /
+    # released per chunk, so peak RSS is ~2*n_threads buffers + the final
+    # right-sized volumes instead of one buffer per file in the batch.
     n = len(paths)
-    raws = [pathlib.Path(p).read_bytes() for p in paths]
-    outs = [np.empty(max_voxels, np.float32) for _ in range(n)]
-    dims = [np.zeros(3, np.int32) for _ in range(n)]
-    jobs = (_LoadJob * n)()
-    keep = []  # keep byte buffers alive
-    for i, raw in enumerate(raws):
-        buf = ctypes.create_string_buffer(raw, len(raw))
-        keep.append(buf)
-        jobs[i].src = ctypes.cast(buf, ctypes.c_void_p)
-        jobs[i].src_len = len(raw)
-        jobs[i].out = outs[i].ctypes.data_as(ctypes.c_void_p)
-        jobs[i].out_cap = max_voxels
-        jobs[i].dims = dims[i].ctypes.data_as(ctypes.c_void_p)
-        jobs[i].do_zscore = 1 if zscore else 0
-        jobs[i].status = 1
+    chunk = max(2 * n_threads, 1)
+    n_buf = min(chunk, n)
+    outs = [np.empty(max_voxels, np.float32) for _ in range(n_buf)]
+    dims = [np.zeros(3, np.int32) for _ in range(n_buf)]
     scratch_per = max_voxels * 8 + 4096
     scratch = np.empty(n_threads * scratch_per, np.uint8)
-    _LIB.mri_load_batch(jobs, n, n_threads,
-                        scratch.ctypes.data_as(ctypes.c_void_p), scratch_per)
     results: List[Optional[Tuple[np.ndarray, Tuple[int, ...]]]] = []
-    for i in range(n):
-        if jobs[i].status != 0:
-            results.append(None)
-            continue
-        d = tuple(int(x) for x in dims[i])
-        count = int(np.prod(d))
-        vol = outs[i][:count].reshape(d, order="F").copy()
-        results.append((vol, d))
+    for c0 in range(0, n, chunk):
+        sub = paths[c0:c0 + chunk]
+        m = len(sub)
+        jobs = (_LoadJob * m)()
+        keep = []  # keep byte buffers alive for this chunk
+        for i, p in enumerate(sub):
+            raw = pathlib.Path(p).read_bytes()
+            buf = ctypes.create_string_buffer(raw, len(raw))
+            keep.append(buf)
+            jobs[i].src = ctypes.cast(buf, ctypes.c_void_p)
+            jobs[i].src_len = len(raw)
+            jobs[i].out = outs[i].ctypes.data_as(ctypes.c_void_p)
+            jobs[i].out_cap = max_voxels
+            jobs[i].dims = dims[i].ctypes.data_as(ctypes.c_void_p)
+            jobs[i].do_zscore = 1 if zscore else 0
+            jobs[i].status = 1
+        _LIB.mri_load_batch(jobs, m, n_threads,
+                            scratch.ctypes.data_as(ctypes.c_void_p),
+                            scratch_per)
+        for i in range(m):
+            if jobs[i].status != 0:
+                results.append(None)
+                continue
+            d = tuple(int(x) for x in dims[i])
+            count = int(np.prod(d))
+            vol = outs[i][:count].reshape(d, order="F").copy()
+            results.append((vol, d))
     return results

@@ -58,6 +58,25 @@ def test_native_nifti_batch_handles_failures(tmp_path):
     assert out[1] is None
 
 
+@requires_native
+def test_ramcache_native_modality_subset(tmp_path):
+    """Regression: with a non-default modality subset the native fast path
+    must pair each case with ITS seg (stride bug: seg list was previously
+    strided by the default 4-modality group size)."""
+    from mri_raytracer_tpu.data import cache as cache_mod
+
+    root = synthetic.write_synthetic_dataset(tmp_path, num_cases=3,
+                                             shape=(10, 10, 8), seed=7)
+    cases = brats.find_cases(root)
+    kw = dict(modalities=["t1n", "t2w"], remap=True)
+    nat = cache_mod.RAMCache(cases, use_native=True, verbose=False, **kw)
+    py = cache_mod.RAMCache(cases, use_native=False, verbose=False, **kw)
+    assert nat.n_modalities == 2
+    for a, b in zip(nat.cache, py.cache):
+        np.testing.assert_array_equal(a["seg"], b["seg"])
+        np.testing.assert_allclose(a["mods"], b["mods"], rtol=1e-4, atol=1e-4)
+
+
 def test_python_fallback_path(tmp_path, monkeypatch):
     """With the library 'absent', the API still works via Python."""
     monkeypatch.setattr(native, "_LIB", None)
