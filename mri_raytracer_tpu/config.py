@@ -144,6 +144,8 @@ class TrainConfig:
     global_batch: int = 16384
     micro_batch: int = 4096
     eval_every: int = 0  # 0 = only at end
+    # Cases evaluated at each mid-training validation (full fold at the end).
+    eval_cases: int = 8
     checkpoint_every: int = 200
     out_dir: str = "runs/inr"
     run_name: str = "inr"

@@ -58,12 +58,21 @@ def _random_idx(key, batch, pool_shape):
     return ci, ix, iy, iz
 
 
-def sample_uniform(key, mods_pool, segs_pool, batch: int) -> SampleBatch:
+def _boundary_weights(boundary_pool, ci, ix, iy, iz) -> jnp.ndarray:
+    """Per-sample loss weights: boundary-map gather when available, else 1."""
+    if boundary_pool is None:
+        return jnp.ones(ci.shape, jnp.float32)
+    return boundary_pool[ci, ix, iy, iz]
+
+
+def sample_uniform(key, mods_pool, segs_pool, batch: int,
+                   boundary_pool=None) -> SampleBatch:
     P, M, H, W, D = mods_pool.shape
     ci, ix, iy, iz = _random_idx(key, batch, mods_pool.shape)
     intens, labels = gather_pool(mods_pool, segs_pool, ci, ix, iy, iz)
     coords = _normalize(ix, iy, iz, (H, W, D))
-    return SampleBatch(coords, intens, labels, jnp.ones((batch,), jnp.float32))
+    return SampleBatch(coords, intens, labels,
+                       _boundary_weights(boundary_pool, ci, ix, iy, iz))
 
 
 def _topk_select(score, k):
@@ -73,7 +82,8 @@ def _topk_select(score, k):
 
 
 def sample_tumor_biased(key, mods_pool, segs_pool, batch: int,
-                        tumor_ratio: float, oversample: int = 4) -> SampleBatch:
+                        tumor_ratio: float, oversample: int = 4,
+                        boundary_pool=None) -> SampleBatch:
     """`tb = batch*tumor_ratio` tumor-preferred samples + uniform remainder."""
     P, M, H, W, D = mods_pool.shape
     tb = int(round(batch * float(tumor_ratio)))
@@ -96,14 +106,12 @@ def sample_tumor_biased(key, mods_pool, segs_pool, batch: int,
     iz = jnp.concatenate([p[3] for p in out_parts])
     intens, labels = gather_pool(mods_pool, segs_pool, ci, ix, iy, iz)
     return SampleBatch(_normalize(ix, iy, iz, (H, W, D)), intens, labels,
-                       jnp.ones((batch,), jnp.float32))
+                       _boundary_weights(boundary_pool, ci, ix, iy, iz))
 
 
-def sample_class_balanced(key, mods_pool, segs_pool, batch: int,
-                          min_counts: Tuple[int, int, int],
-                          oversample: int = 8) -> SampleBatch:
-    """Per-class minimum quotas for classes 1..3, remainder uniform."""
-    P, M, H, W, D = mods_pool.shape
+def _class_balanced_idx(key, segs_pool, pool_shape, batch: int,
+                        min_counts: Tuple[int, int, int], oversample: int):
+    """Index tuple (ci, ix, iy, iz) honoring per-class quotas for 1..3."""
     total_quota = int(sum(min_counts))
     if total_quota > batch:
         raise ValueError(f"sum(min_counts)={total_quota} > batch={batch}")
@@ -114,21 +122,28 @@ def sample_class_balanced(key, mods_pool, segs_pool, batch: int,
             continue
         C = max(need * oversample, need)
         kc, ks = jax.random.split(kk)
-        ci, ix, iy, iz = _random_idx(kc, C, mods_pool.shape)
+        ci, ix, iy, iz = _random_idx(kc, C, pool_shape)
         labels_c = segs_pool[ci, ix, iy, iz]
         score = (labels_c == cls).astype(jnp.float32) * 2.0 + jax.random.uniform(ks, (C,))
         sel = _topk_select(score, need)
         parts.append((ci[sel], ix[sel], iy[sel], iz[sel]))
     rb = batch - total_quota
     if rb > 0:
-        parts.append(_random_idx(keys[3], rb, mods_pool.shape))
-    ci = jnp.concatenate([p[0] for p in parts])
-    ix = jnp.concatenate([p[1] for p in parts])
-    iy = jnp.concatenate([p[2] for p in parts])
-    iz = jnp.concatenate([p[3] for p in parts])
+        parts.append(_random_idx(keys[3], rb, pool_shape))
+    return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+def sample_class_balanced(key, mods_pool, segs_pool, batch: int,
+                          min_counts: Tuple[int, int, int],
+                          oversample: int = 8,
+                          boundary_pool=None) -> SampleBatch:
+    """Per-class minimum quotas for classes 1..3, remainder uniform."""
+    P, M, H, W, D = mods_pool.shape
+    ci, ix, iy, iz = _class_balanced_idx(key, segs_pool, mods_pool.shape,
+                                         batch, min_counts, oversample)
     intens, labels = gather_pool(mods_pool, segs_pool, ci, ix, iy, iz)
     return SampleBatch(_normalize(ix, iy, iz, (H, W, D)), intens, labels,
-                       jnp.ones((batch,), jnp.float32))
+                       _boundary_weights(boundary_pool, ci, ix, iy, iz))
 
 
 def sample_hybrid(key, mods_pool, segs_pool, batch: int,
@@ -141,7 +156,8 @@ def sample_hybrid(key, mods_pool, segs_pool, batch: int,
 
     ``uncertainty_fn(coords, intensities) -> (C,) entropy`` scores candidate
     voxels (the engine passes an MC-dropout entropy closure over current
-    params). Boundary weights are gathered from ``boundary_pool`` when given.
+    params). Boundary weights are gathered from ``boundary_pool`` for EVERY
+    sub-batch (uncertainty, balanced, and uniform alike).
     """
     n_unc = int(round(batch * mix[0]))
     n_bal = int(round(batch * mix[1]))
@@ -164,32 +180,19 @@ def sample_hybrid(key, mods_pool, segs_pool, batch: int,
     if n_bal > 0:
         cnt = balanced_counts if sum(balanced_counts) > 0 else (
             n_bal // 3, n_bal // 3, n_bal - 2 * (n_bal // 3))
-        b = sample_class_balanced(k2, mods_pool, segs_pool, n_bal, cnt, oversample)
-        # Re-derive indices is wasteful; keep the batch parts directly instead.
-        parts.append(None)
-        bal_batch = b
+        parts.append(_class_balanced_idx(k2, segs_pool, mods_pool.shape,
+                                         n_bal, cnt, oversample))
     if n_uni > 0:
         parts.append(_random_idx(k3, n_uni, mods_pool.shape))
 
-    idx_parts = [p for p in parts if p is not None]
-    ci = jnp.concatenate([p[0] for p in idx_parts])
-    ix = jnp.concatenate([p[1] for p in idx_parts])
-    iy = jnp.concatenate([p[2] for p in idx_parts])
-    iz = jnp.concatenate([p[3] for p in idx_parts])
+    ci = jnp.concatenate([p[0] for p in parts])
+    ix = jnp.concatenate([p[1] for p in parts])
+    iy = jnp.concatenate([p[2] for p in parts])
+    iz = jnp.concatenate([p[3] for p in parts])
     intens, labels = gather_pool(mods_pool, segs_pool, ci, ix, iy, iz)
     coords = _normalize(ix, iy, iz, (H, W, D))
-    if boundary_pool is not None:
-        weights = boundary_pool[ci, ix, iy, iz]
-    else:
-        weights = jnp.ones(ci.shape, jnp.float32)
-    batch_out = SampleBatch(coords, intens, labels, weights)
-    if n_bal > 0:
-        batch_out = SampleBatch(
-            jnp.concatenate([batch_out.coords, bal_batch.coords]),
-            jnp.concatenate([batch_out.intensities, bal_batch.intensities]),
-            jnp.concatenate([batch_out.labels, bal_batch.labels]),
-            jnp.concatenate([batch_out.weights, bal_batch.weights]))
-    return batch_out
+    return SampleBatch(coords, intens, labels,
+                       _boundary_weights(boundary_pool, ci, ix, iy, iz))
 
 
 def make_sampler(kind: str, batch: int, tumor_ratio: float = 0.5,
@@ -197,23 +200,28 @@ def make_sampler(kind: str, batch: int, tumor_ratio: float = 0.5,
                  model=None, mc_dropout: int = 4):
     """Sampler factory keyed by DataConfig.sampler.
 
-    All samplers share the protocol ``fn(key, mods, segs, params=None)``;
-    only 'hybrid' uses ``params`` — it scores candidate voxels by MC-dropout
-    predictive entropy of the CURRENT model inside the jitted step (reference
-    D13 wiring the engine could not do host-side).
+    All samplers share the protocol
+    ``fn(key, mods, segs, params=None, boundary=None)``; only 'hybrid' uses
+    ``params`` — it scores candidate voxels by MC-dropout predictive entropy
+    of the CURRENT model inside the jitted step (reference D13 wiring the
+    engine could not do host-side). ``boundary`` is an optional
+    ``(P, H, W, D)`` boundary-distance weight pool gathered into per-sample
+    loss weights (reference L8 boundary-weighted loss).
     """
     if kind == "uniform":
-        return lambda key, mods, segs, params=None: \
-            sample_uniform(key, mods, segs, batch)
+        return lambda key, mods, segs, params=None, boundary=None: \
+            sample_uniform(key, mods, segs, batch, boundary)
     if kind == "tumor":
-        return lambda key, mods, segs, params=None: \
-            sample_tumor_biased(key, mods, segs, batch, tumor_ratio)
+        return lambda key, mods, segs, params=None, boundary=None: \
+            sample_tumor_biased(key, mods, segs, batch, tumor_ratio,
+                                boundary_pool=boundary)
     if kind == "balanced":
         mc = min_counts or (batch // 8, batch // 8, batch // 8)
-        return lambda key, mods, segs, params=None: \
-            sample_class_balanced(key, mods, segs, batch, mc)
+        return lambda key, mods, segs, params=None, boundary=None: \
+            sample_class_balanced(key, mods, segs, batch, mc,
+                                  boundary_pool=boundary)
     if kind == "hybrid":
-        def hybrid(key, mods, segs, params=None):
+        def hybrid(key, mods, segs, params=None, boundary=None):
             ufn = None
             if params is not None and model is not None:
                 def ufn(coords, intens):
@@ -227,7 +235,8 @@ def make_sampler(kind: str, batch: int, tumor_ratio: float = 0.5,
                     probs = jnp.mean(jax.vmap(one)(keys), axis=0)
                     return -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
 
-            return sample_hybrid(key, mods, segs, batch, uncertainty_fn=ufn)
+            return sample_hybrid(key, mods, segs, batch, uncertainty_fn=ufn,
+                                 boundary_pool=boundary)
 
         return hybrid
     raise ValueError(f"unknown sampler {kind!r}")

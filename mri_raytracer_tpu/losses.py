@@ -136,7 +136,13 @@ def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     cw = jnp.asarray(cfg.class_weights)
     w = jnp.take(cw, labels)
     if sample_weights is not None:
-        w = w * sample_weights
+        if cfg.boundary_weight > 0.0:
+            # sample_weights carry the raw boundary map 1/(1+EDT) in (0, 1];
+            # blend so far-from-boundary voxels keep weight ~1 and boundary
+            # voxels are boosted up to (1 + boundary_weight) (reference L8).
+            w = w * (1.0 + cfg.boundary_weight * sample_weights)
+        else:
+            w = w * sample_weights
     ce_scalar = jnp.mean(ce_vec * w)
 
     probs = jax.nn.softmax(logits, axis=-1)

@@ -34,14 +34,22 @@ def build_dp_train_step(model: ModelBundle, loss_cfg: LossConfig, optimizer,
                                   accum_steps, coord_noise,
                                   grad_psum_axis="data")
 
-    def shard_body(params, opt_state, key, mods_pool, segs_pool, step_idx):
+    def shard_body(params, opt_state, key, mods_pool, segs_pool, step_idx,
+                   boundary_pool=None):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        return core(params, opt_state, shard_key, mods_pool, segs_pool, step_idx)
+        return core(params, opt_state, shard_key, mods_pool, segs_pool,
+                    step_idx, boundary_pool)
 
     sharded = shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def call(params, opt_state, key, mods_pool, segs_pool, step_idx,
+             boundary_pool=None):
+        return sharded(params, opt_state, key, mods_pool, segs_pool, step_idx,
+                       boundary_pool)
+
+    return jax.jit(call, donate_argnums=(0, 1))

@@ -56,7 +56,17 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
         dc.data_root, dc.case_limit, dc.num_folds, dc.fold_index, dc.seed,
         cache_kind="ram", verbose=False)
     cache_mod.save_splits(out_dir / "splits", info["train_cases"], info["val_cases"])
-    dev_pool = pool_mod.DevicePool(train_cache, dc.pool_size, seed=dc.seed)
+    # Boundary-weighted loss (reference L8): precompute 1/(1+EDT) maps once
+    # per case and carry them in the device pool; every sampler gathers them
+    # into per-sample weights.
+    use_boundary = config.loss.boundary_weight > 0.0
+    if use_boundary:
+        for i in range(train_cache.n_cases):
+            c = train_cache.get(i)
+            if "boundary" not in c:
+                c["boundary"] = cache_mod.ChunkedCache.boundary_map(c["seg"])
+    dev_pool = pool_mod.DevicePool(train_cache, dc.pool_size, seed=dc.seed,
+                                   with_boundary=use_boundary)
 
     # --------------------------------------------------------------- model
     model = build_model(config.model, train_cache.n_modalities, rff_seed=dc.seed)
@@ -109,7 +119,7 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
         key, k_step = jax.random.split(key)
         params, opt_state, m = step_fn(params, opt_state, k_step,
                                        dev_pool.mods, dev_pool.segs,
-                                       jnp.int32(step))
+                                       jnp.int32(step), dev_pool.boundary)
         if step % config.log_every == 0 or step == 1:
             loss = float(m.loss)
             dpc = np.asarray(m.dice_per_class)
@@ -138,8 +148,9 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
             sl_dice = _metrics.macro_slice_dice(pred_slice,
                                                 case0["seg"][:, :, z_mid])
             _, agg = inference.evaluate_cases(
-                model, params, [val_cache.get(i)
-                                for i in range(min(val_cache.n_cases, 2))],
+                model, params,
+                [val_cache.get(i)
+                 for i in range(min(val_cache.n_cases, config.eval_cases))],
                 num_classes=config.model.num_classes)
             md = agg["mean_dice"][0]
             logger.log({"val/mean_dice": md, "val/slice_dice_mid": sl_dice},

@@ -88,9 +88,9 @@ def build_train_step(model: ModelBundle, loss_cfg: LossConfig,
         dims = jnp.array([H - 1, W - 1, D - 1], jnp.float32)
         return (coords / dims) * 2.0 - 1.0, intens
 
-    def one_micro(params, key, mods_pool, segs_pool, sigma):
+    def one_micro(params, key, mods_pool, segs_pool, boundary_pool, sigma):
         k_samp, k_noise, k_loss = jax.random.split(key, 3)
-        batch = sampler(k_samp, mods_pool, segs_pool, params)
+        batch = sampler(k_samp, mods_pool, segs_pool, params, boundary_pool)
         if coord_noise is not None:
             noise = jax.random.normal(k_noise, batch.coords.shape) * sigma
             batch = batch._replace(coords=batch.coords + noise)
@@ -100,13 +100,15 @@ def build_train_step(model: ModelBundle, loss_cfg: LossConfig,
         (l, aux), g = grad_fn(params, batch, k_loss, tv_batch)
         return l, aux, g
 
-    def step(params, opt_state, key, mods_pool, segs_pool, step_idx):
+    def step(params, opt_state, key, mods_pool, segs_pool, step_idx,
+             boundary_pool=None):
         sigma = coord_noise(step_idx) if coord_noise is not None else jnp.float32(0.0)
         keys = jax.random.split(key, accum_steps)
 
         def body(carry, k):
             g_acc, l_acc, aux_acc = carry
-            l, aux, g = one_micro(params, k, mods_pool, segs_pool, sigma)
+            l, aux, g = one_micro(params, k, mods_pool, segs_pool,
+                                  boundary_pool, sigma)
             g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
             aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
             return (g_acc, l_acc + l, aux_acc), None
