@@ -126,6 +126,42 @@ def test_device_pool_and_samplers(dataset):
     assert bh.coords.shape[0] == 64
 
 
+def test_boundary_weights_apply_to_full_batch(dataset):
+    """Every sampler (and every hybrid sub-batch) gathers boundary weights."""
+    cases = brats.find_cases(dataset)
+    c = cache.RAMCache(cases, verbose=False)
+    for i in range(c.n_cases):
+        entry = c.get(i)
+        entry["boundary"] = cache.ChunkedCache.boundary_map(entry["seg"])
+    p = pool.DevicePool(c, pool_size=2, seed=0, with_boundary=True)
+    assert p.boundary is not None
+    key = jax.random.PRNGKey(3)
+    H, W, D = (16, 16, 12)
+
+    def check(b):
+        # Weights must equal the boundary map at the sampled voxels — for
+        # EVERY sample in the batch, including balanced sub-batches.
+        idx = np.round((np.asarray(b.coords) + 1.0) / 2.0
+                       * np.array([H - 1, W - 1, D - 1])).astype(int)
+        w = np.asarray(b.weights)
+        assert w.shape == (64,)
+        assert not np.allclose(w, 1.0)  # boundary maps are non-trivial
+        bp = np.asarray(p.boundary)
+        # Can't recover the case index from coords alone; check each weight
+        # matches the map value in at least one pool case at that voxel.
+        for n in range(64):
+            vals = bp[:, idx[n, 0], idx[n, 1], idx[n, 2]]
+            assert np.any(np.isclose(w[n], vals, atol=1e-6)), (n, w[n], vals)
+
+    check(sampling.sample_uniform(key, p.mods, p.segs, 64, p.boundary))
+    check(sampling.sample_tumor_biased(key, p.mods, p.segs, 64, 0.5,
+                                       boundary_pool=p.boundary))
+    check(sampling.sample_class_balanced(key, p.mods, p.segs, 64, (4, 4, 4),
+                                         boundary_pool=p.boundary))
+    check(sampling.sample_hybrid(key, p.mods, p.segs, 64,
+                                 boundary_pool=p.boundary))
+
+
 def test_samplers_jit(dataset):
     cases = brats.find_cases(dataset)
     c = cache.RAMCache(cases, verbose=False)
