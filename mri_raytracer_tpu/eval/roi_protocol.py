@@ -1,0 +1,202 @@
+"""ROI policy-renderer evaluation protocol (reference
+``docs/Methodology-ROI-Neural-Volumetric-Rendering.md:56-60`` +
+``docs/showcase-plan.md:39-49``).
+
+Measures, per scene and per budget: wall-clock ms/frame (median over >= N
+frames, scalar-readback synced), steps/ray, PSNR and ROI-weighted PSNR
+vs a very-fine fixed-step reference — producing the speed-quality Pareto
+data. Success bar (showcase-plan:46-48): the policy renderer reaches
+>= 1.8x speedup over the TUNED fixed-step baseline B1 at <= 0.5 dB PSNR
+loss on >= 3/4 scenes; held-out views lose <= 0.7 dB extra.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mri_raytracer_tpu.ops import roi_policy
+from mri_raytracer_tpu.render import params as rp
+from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+
+def psnr(img: np.ndarray, ref: np.ndarray,
+         w: Optional[np.ndarray] = None) -> float:
+    """PSNR in dB (peak 1.0); optional per-pixel weight map (ROI-weighted
+    PSNR per Methodology:59)."""
+    err = np.mean((np.asarray(img) - np.asarray(ref)) ** 2, axis=-1)
+    if w is not None:
+        err = err * w / max(float(np.mean(w)), 1e-12)
+    mse = float(np.mean(err))
+    return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+
+
+def _fbm_volume(shape, seed, n_waves=8, sharp=False) -> np.ndarray:
+    """Smooth (clouds) or thresholded (structured) synthetic volume."""
+    rng = np.random.default_rng(seed)
+    g = np.stack(np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                             indexing="ij"), -1).astype(np.float32)
+    v = np.zeros(shape, np.float32)
+    for i in range(n_waves):
+        k = rng.normal(0, 2.5 + i, 3).astype(np.float32)
+        ph = rng.uniform(0, 2 * np.pi)
+        v += np.cos((g * k).sum(-1) * np.pi + ph) / (i + 1)
+    v = (v - v.min()) / max(v.max() - v.min(), 1e-6)
+    r2 = (g ** 2).sum(-1)
+    v *= (r2 < 0.81).astype(np.float32)
+    if sharp:
+        v = np.where(v > 0.6, v, 0.1 * v).astype(np.float32)
+    return v
+
+
+def build_scenes(shape=(96, 96, 80), include_medical=True) -> List[Dict]:
+    """Four benchmark scenes: two tumor cases (ROI maps from seg) and two
+    non-medical volumes (clouds / sharp structures; the showcase-plan's
+    Bonsai/Clouds/Noise stand-ins, P = B = 0)."""
+    from mri_raytracer_tpu.data import brats as brats_mod
+    from mri_raytracer_tpu.data import synthetic
+
+    scenes = []
+
+    def add(name, mixed, seg):
+        feats = roi_policy.build_feature_volumes(mixed, seg)
+        p = rp.default_render_params(mixed.shape, show_seg=False)
+        scenes.append({
+            "name": name,
+            "mixed": jnp.asarray(mixed),
+            "P": jnp.asarray(feats["P"]),
+            "B": jnp.asarray(feats["B"]),
+            "gradmag": jnp.asarray(feats["gradmag"]),
+            "graddir": jnp.asarray(feats["graddir"]),
+            "params": p,
+            "radius": rp.default_camera_radius(p, mixed.shape),
+        })
+
+    if include_medical:
+        for i, seed in enumerate((0, 7)):
+            mods, seg = synthetic.synthetic_case(shape, seed=seed)
+            disp = np.stack([brats_mod.percentile_normalize(m) for m in mods])
+            mixed = disp.mean(0).astype(np.float32)
+            add(f"tumor-{'ab'[i]}", mixed, seg)
+    add("clouds", _fbm_volume(shape, 11), None)
+    add("structures", _fbm_volume(shape, 23, sharp=True), None)
+    return scenes
+
+
+def scene_tuple(scene) -> Tuple:
+    return (scene["mixed"], scene["P"], scene["B"], scene["gradmag"],
+            scene["graddir"])
+
+
+def make_views(radius: float, held_out: bool = False) -> List[np.ndarray]:
+    """Packed camera vectors; training and held-out view sets are disjoint
+    (showcase-plan:49 held-out generalization)."""
+    angles = [(0.4, 1.25), (1.1, 0.9), (2.0, 1.5)] if not held_out \
+        else [(2.9, 1.1), (-0.8, 0.7)]
+    out = []
+    for th, ph in angles:
+        cam = OrbitalCamera(radius=radius, theta=th, phi=ph)
+        out.append(np.asarray(cam.basis().pack()))
+    return out
+
+
+def _median_time(fn, n_frames: int) -> float:
+    """Median wall-clock seconds per call, scalar-readback synced."""
+    out = fn()
+    float(jnp.sum(out))  # warm + sync
+    ts = []
+    for _ in range(n_frames):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(out))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
+                 budgets: Sequence[int], p=None, width: int = 256,
+                 height: int = 256, ref_steps: int = 512,
+                 n_frames: int = 30, cfg=roi_policy.PolicyConfig(),
+                 n_coarse: int = 32) -> Dict:
+    """Per-budget baseline-vs-policy measurements on one scene.
+
+    Returns {'budgets', 'baseline': [{psnr, wpsnr, ms, steps}], 'policy':
+    [...], 'ref_steps'} with metrics averaged over views (median ms)."""
+    p = p or scene["params"]
+    mixed = scene["mixed"]
+    st = scene_tuple(scene)
+
+    refs, wmaps = [], []
+    for bv in views:
+        ref, _ = roi_policy.render_fixed(mixed, jnp.asarray(bv), p, width,
+                                         height, ref_steps)
+        refs.append(np.asarray(ref))
+        P_img, B_img = roi_policy.project_roi_maps(scene["P"], scene["B"],
+                                                   jnp.asarray(bv), p, width,
+                                                   height)
+        wmaps.append(np.asarray(roi_policy.roi_weight_map(P_img, B_img)))
+
+    out = {"budgets": list(budgets), "baseline": [], "policy": [],
+           "ref_steps": ref_steps, "width": width, "height": height}
+    for n in budgets:
+        b_psnr, b_w, b_ms, b_steps = [], [], [], []
+        p_psnr, p_w, p_ms, p_steps = [], [], [], []
+        for bv, ref, wmap in zip(views, refs, wmaps):
+            bvj = jnp.asarray(bv)
+            img, steps = roi_policy.render_fixed(mixed, bvj, p, width,
+                                                 height, n)
+            b_psnr.append(psnr(img, ref))
+            b_w.append(psnr(img, ref, wmap))
+            b_steps.append(float(steps))
+            b_ms.append(_median_time(
+                lambda: roi_policy.render_fixed(mixed, bvj, p, width, height,
+                                                n)[0], n_frames))
+            pimg, stats = roi_policy.render_policy(
+                policy, *st, bvj, p, width, height, n_coarse, n, cfg)
+            p_psnr.append(psnr(pimg, ref))
+            p_w.append(psnr(pimg, ref, wmap))
+            p_steps.append(float(stats["steps_per_ray"]))
+            p_ms.append(_median_time(
+                lambda: roi_policy.render_policy(policy, *st, bvj, p, width,
+                                                 height, n_coarse, n,
+                                                 cfg)[0], n_frames))
+        out["baseline"].append({
+            "n": n, "psnr": float(np.mean(b_psnr)),
+            "wpsnr": float(np.mean(b_w)), "ms": 1e3 * float(np.median(b_ms)),
+            "steps": float(np.mean(b_steps))})
+        out["policy"].append({
+            "n": n, "psnr": float(np.mean(p_psnr)),
+            "wpsnr": float(np.mean(p_w)), "ms": 1e3 * float(np.median(p_ms)),
+            "steps": float(np.mean(p_steps))})
+    return out
+
+
+def evaluate_success(sweep: Dict, speedup_target: float = 1.8,
+                     max_loss_db: float = 0.5) -> Dict:
+    """Apply the showcase-plan success rule to one scene's sweep.
+
+    Tuned baseline B1 = the cheapest baseline budget within 0.5 dB of the
+    best baseline PSNR ('tuned fixed-step'). The policy point = the fastest
+    policy config with wPSNR >= wPSNR(B1) - max_loss_db. Success when
+    ms(B1) / ms(policy point) >= speedup_target.
+    """
+    base = sweep["baseline"]
+    pol = sweep["policy"]
+    best = max(b["psnr"] for b in base)
+    tuned = min((b for b in base if b["psnr"] >= best - 0.5),
+                key=lambda b: b["ms"])
+    bar = tuned["wpsnr"] - max_loss_db
+    ok_pts = [q for q in pol if q["wpsnr"] >= bar]
+    if not ok_pts:
+        return {"success": False, "speedup": 0.0, "tuned_n": tuned["n"],
+                "bar_db": bar, "policy_n": None}
+    fast = min(ok_pts, key=lambda q: q["ms"])
+    speedup = tuned["ms"] / fast["ms"]
+    return {"success": speedup >= speedup_target, "speedup": speedup,
+            "tuned_n": tuned["n"], "tuned_ms": tuned["ms"],
+            "policy_n": fast["n"], "policy_ms": fast["ms"],
+            "bar_db": bar, "policy_wpsnr": fast["wpsnr"],
+            "steps_baseline": tuned["steps"], "steps_policy": fast["steps"]}

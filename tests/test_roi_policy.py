@@ -1,0 +1,141 @@
+"""ROI policy-MLP adaptive renderer (ops/roi_policy + eval/roi_protocol)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_raytracer_tpu.data import brats, synthetic
+from mri_raytracer_tpu.eval import roi_protocol
+from mri_raytracer_tpu.ops import roi_policy
+from mri_raytracer_tpu.render import params as rp
+from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+
+CFG = roi_policy.PolicyConfig()
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mods, seg = synthetic.synthetic_case((32, 32, 28), seed=3)
+    mixed = np.stack([brats.percentile_normalize(m) for m in mods]).mean(0)
+    feats = roi_policy.build_feature_volumes(mixed, seg)
+    p = rp.default_render_params(mixed.shape, show_seg=False)
+    # Low alpha so no ray saturates (T stays > 0.01 — needed by the
+    # uniform-equivalence test).
+    p = p._replace(intensity_alpha=jnp.float32(1.0))
+    return {"mixed": jnp.asarray(mixed),
+            "P": jnp.asarray(feats["P"]), "B": jnp.asarray(feats["B"]),
+            "gradmag": jnp.asarray(feats["gradmag"]),
+            "graddir": jnp.asarray(feats["graddir"]),
+            "params": p,
+            "radius": rp.default_camera_radius(p, mixed.shape)}
+
+
+def _basis(scene, theta=0.5, phi=1.1):
+    return jnp.asarray(
+        OrbitalCamera(radius=scene["radius"], theta=theta, phi=phi)
+        .basis().pack())
+
+
+def _st(scene):
+    return (scene["mixed"], scene["P"], scene["B"], scene["gradmag"],
+            scene["graddir"])
+
+
+def test_policy_output_ranges():
+    pol = roi_policy.init_policy(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (64, 8))
+    scale, skip = roi_policy.apply_policy(pol, feats, CFG)
+    assert scale.shape == (64,) and skip.shape == (64,)
+    assert float(scale.min()) >= CFG.scale_min - 1e-3
+    assert float(scale.max()) <= CFG.scale_max + 1e-3
+    assert float(skip.min()) >= 0.0 and float(skip.max()) <= 1.0
+
+
+def _constant_policy(scale=1.0, skip_logit=-30.0):
+    """Zero-weight policy with biases pinning (scale, skip)."""
+    s = (scale - CFG.scale_min) / (CFG.scale_max - CFG.scale_min)
+    logit = float(np.log(s / (1.0 - s)))
+    return {"W1": jnp.zeros((8, CFG.hidden)), "b1": jnp.zeros((CFG.hidden,)),
+            "W2": jnp.zeros((CFG.hidden, 2)),
+            "b2": jnp.asarray([logit, skip_logit], jnp.float32)}
+
+
+def test_uniform_policy_matches_fixed_step(scene):
+    """A constant-density policy must reproduce the fixed-step baseline
+    exactly (same sample positions, same dt)."""
+    n = 48
+    bv = _basis(scene)
+    ref, _ = roi_policy.render_fixed(scene["mixed"], bv, scene["params"],
+                                     64, 64, n)
+    img, stats = roi_policy.render_policy(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        n_coarse=16, n_fine=n, cfg=CFG, roi_clamp=False)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-4, atol=2e-4)
+    assert float(stats["steps_per_ray"]) > 0.0
+
+
+def test_roi_clamp_protects_tumor(scene):
+    """An adversarial policy that skips exactly the ROI (it reads the P(x)
+    feature) must be overridden by the ROI clamp: with clamps on, ROI-pixel
+    error vs the fine reference improves (Methodology:45-47)."""
+    bv = _basis(scene)
+    p = scene["params"]
+    ref, _ = roi_policy.render_fixed(scene["mixed"], bv, p, 64, 64, 256)
+    # Feature 5 is P(x): skip logit ~ sigmoid(40*P - 4) => skip ROI only.
+    W1 = np.zeros((8, CFG.hidden), np.float32)
+    W1[5, 0] = 10.0
+    W2 = np.zeros((CFG.hidden, 2), np.float32)
+    W2[0, 1] = 4.0
+    roi_skipper = {"W1": jnp.asarray(W1), "b1": jnp.zeros((CFG.hidden,)),
+                   "W2": jnp.asarray(W2),
+                   "b2": jnp.asarray([0.0, -4.0], jnp.float32)}
+    img_off, _ = roi_policy.render_policy(
+        roi_skipper, *_st(scene), bv, p, 64, 64, 16, 32, CFG,
+        roi_clamp=False)
+    img_on, _ = roi_policy.render_policy(
+        roi_skipper, *_st(scene), bv, p, 64, 64, 16, 32, CFG, roi_clamp=True)
+    P_img, _ = roi_policy.project_roi_maps(scene["P"], scene["B"], bv, p,
+                                           64, 64)
+    roi_px = np.asarray(P_img) > 0.2
+    assert roi_px.sum() > 10
+    err_off = np.mean((np.asarray(img_off) - np.asarray(ref)) ** 2, -1)[roi_px]
+    err_on = np.mean((np.asarray(img_on) - np.asarray(ref)) ** 2, -1)[roi_px]
+    assert err_on.mean() < err_off.mean()
+
+
+def test_policy_training_reduces_loss(scene):
+    views = [_basis(scene, 0.4, 1.2), _basis(scene, 1.5, 0.9)]
+    p = scene["params"]
+    refs = [np.asarray(roi_policy.render_fixed(scene["mixed"], v, p,
+                                               48, 48, 192)[0])
+            for v in views]
+    pol, losses = roi_policy.train_policy(
+        jax.random.PRNGKey(0), _st(scene), views,
+        [jnp.asarray(r) for r in refs], p, 48, 48, steps=30, n_coarse=12,
+        n_fine=24, lr=1e-3)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.isfinite(losses).all()
+
+
+def test_protocol_sweep_and_success_rule(scene):
+    pol = _constant_policy()
+    views = roi_protocol.make_views(scene["radius"])[:1]
+    sweep = roi_protocol.pareto_sweep(
+        pol, scene, views, budgets=[16, 48], width=48, height=48,
+        ref_steps=128, n_frames=2, n_coarse=12)
+    assert len(sweep["baseline"]) == 2 and len(sweep["policy"]) == 2
+    # More samples => better PSNR for the baseline.
+    assert sweep["baseline"][1]["psnr"] > sweep["baseline"][0]["psnr"]
+    verdict = roi_protocol.evaluate_success(sweep)
+    assert set(verdict) >= {"success", "speedup", "tuned_n"}
+
+
+def test_feature_volumes(scene):
+    assert float(scene["P"].max()) <= 1.0 + 1e-5
+    assert float(scene["B"].max()) <= 1.0 + 1e-5
+    # Boundary proximity peaks at the tumor boundary, P inside the tumor.
+    assert float(scene["P"].max()) > 0.3
+    assert float(scene["gradmag"].min()) >= 0.0
