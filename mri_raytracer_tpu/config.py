@@ -146,6 +146,9 @@ class TrainConfig:
     eval_every: int = 0  # 0 = only at end
     # Cases evaluated at each mid-training validation (full fold at the end).
     eval_cases: int = 8
+    # Live matplotlib dashboard (reference O6): redraws loss/Dice curves and
+    # GT-vs-pred slices at every eval to <out_dir>/dashboard.png.
+    live_dashboard: bool = False
     checkpoint_every: int = 200
     out_dir: str = "runs/inr"
     run_name: str = "inr"

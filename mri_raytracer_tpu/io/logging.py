@@ -58,6 +58,70 @@ class RunLogger:
             except Exception as e:  # network failures never kill training
                 print(f"[logger] wandb.log failed: {e}")
 
+    def log_bar(self, name: str, labels, values, step: int) -> None:
+        """Per-class bar chart (reference ``inr/inr/train.py:426-431``
+        ``wandb.plot.bar``); the values also stream to the JSONL record."""
+        self.log({f"{name}/{l}": float(v) for l, v in zip(labels, values)},
+                 step)
+        if self.wandb_run is None:
+            return
+        try:
+            wandb = _wandb()
+            table = wandb.Table(data=[[str(l), float(v)]
+                                      for l, v in zip(labels, values)],
+                                columns=["class", "value"])
+            self.wandb_run.log(
+                {name: wandb.plot.bar(table, "class", "value", title=name)},
+                step=step)
+        except Exception as e:
+            print(f"[logger] wandb bar failed: {e}")
+
+    def log_table(self, name: str, columns, rows, step: int) -> None:
+        """Tabular metrics (reference ``wandb.Table`` at train.py:432-435);
+        always mirrored to ``<run>_tables.jsonl``."""
+        rec = {"step": step, "name": name, "columns": list(columns),
+               "rows": [[None if v is None else float(v) if isinstance(
+                   v, (int, float)) else str(v) for v in r] for r in rows]}
+        with open(self.out_dir / f"{self.run_name}_tables.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.wandb_run is None:
+            return
+        try:
+            wandb = _wandb()
+            self.wandb_run.log(
+                {name: wandb.Table(columns=list(columns), data=rows)},
+                step=step)
+        except Exception as e:
+            print(f"[logger] wandb table failed: {e}")
+
+    def log_image(self, name: str, image, step: int,
+                  caption: str = "") -> None:
+        """Image/overlay logging (reference ``wandb.Image`` at
+        ``jax_inr_training_wandb_improved.py:1005-1036``); always saved as a
+        PNG under ``media/`` so offline runs keep the visuals."""
+        import numpy as np
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        media = self.out_dir / "media"
+        media.mkdir(exist_ok=True)
+        path = media / f"{name.replace('/', '_')}_step{step:06d}.png"
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+        except Exception as e:
+            print(f"[logger] png save failed: {e}")
+        if self.wandb_run is None:
+            return
+        try:
+            wandb = _wandb()
+            self.wandb_run.log({name: wandb.Image(str(path), caption=caption)},
+                               step=step)
+        except Exception as e:
+            print(f"[logger] wandb image failed: {e}")
+
     def log_summary(self, summary: Dict[str, Any]) -> None:
         self.results.update(summary)
         self._flush_results()

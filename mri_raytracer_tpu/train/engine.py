@@ -109,6 +109,10 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
     logger = RunLogger(out_dir, config.run_name, config.to_dict(),
                        use_wandb=config.use_wandb,
                        wandb_project=config.wandb_project)
+    from mri_raytracer_tpu.io.dashboard import TrainingDashboard
+
+    dashboard = TrainingDashboard(out_dir, config.model.num_classes,
+                                  enabled=config.live_dashboard)
 
     # ------------------------------------------------------------ hot loop
     t_start = time.time()
@@ -155,9 +159,33 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
             md = agg["mean_dice"][0]
             logger.log({"val/mean_dice": md, "val/slice_dice_mid": sl_dice},
                        step)
+            # Rich observability (reference O3/O6): per-class Dice bar +
+            # metric table + GT-vs-pred slice overlay + live dashboard.
+            nc = config.model.num_classes
+            dpc_val = [agg[f"dice_class_{c}"][0] for c in range(nc)]
+            logger.log_bar("val/dice_per_class",
+                           [f"class_{c}" for c in range(nc)], dpc_val, step)
+            logger.log_table(
+                "val/metrics", ["class", "dice", "hausdorff"],
+                [[c, agg[f"dice_class_{c}"][0], agg[f"hd_class_{c}"][0]]
+                 for c in range(nc)], step)
+            from mri_raytracer_tpu.data import brats as _brats
+            from mri_raytracer_tpu.io.dashboard import label_overlay
+
+            base_img = _brats.percentile_normalize(
+                np.asarray(case0["mods"][0, :, :, z_mid]))
+            gt_slice = case0["seg"][:, :, z_mid]
+            logger.log_image("val/slice_overlay",
+                             np.concatenate([label_overlay(base_img, gt_slice),
+                                             label_overlay(base_img,
+                                                           pred_slice)], 1),
+                             step, caption=f"GT | pred (z={z_mid})")
+            dashboard.update(step, float(m.loss), np.asarray(m.dice_per_class),
+                             gt_slice, pred_slice, base_img)
             if np.isfinite(md) and md > best_val["mean_dice"]:
                 best_val = {"mean_dice": md, "step": step}
-                ckpt.save_object(params, out_dir / f"{config.run_name}_best.npz",
+                best_path = out_dir / f"{config.run_name}_best.npz"
+                ckpt.save_object(params, best_path,
                                  info={"step": step, "val_mean_dice": md})
     train_time = time.time() - t_start
 
@@ -181,9 +209,23 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
         logger.log_summary({"val": {k: list(v) for k, v in eval_agg.items()}})
         logger.save_best({"val": {k: list(v) for k, v in eval_agg.items()},
                           "checkpoint": str(final_path)})
+        # Final rich logging (reference train.py:426-435).
+        nc = config.model.num_classes
+        logger.log_bar("final/dice_per_class",
+                       [f"class_{c}" for c in range(nc)],
+                       [eval_agg[f"dice_class_{c}"][0] for c in range(nc)],
+                       config.train_steps)
+        logger.log_table(
+            "final/metrics", ["class", "dice_mean", "dice_std", "hd_mean"],
+            [[c, *eval_agg[f"dice_class_{c}"], eval_agg[f"hd_class_{c}"][0]]
+             for c in range(nc)], config.train_steps)
     logger.log_summary({"train_time_sec": train_time,
                         "final_checkpoint": str(final_path)})
     logger.log_artifact(final_path)
+    # Separate best-model artifact (reference train.py:447-461).
+    best_path = out_dir / f"{config.run_name}_best.npz"
+    if best_path.exists():
+        logger.log_artifact(best_path, kind="best-model")
     logger.finish()
 
     return {"params": params, "model": model, "config": config,

@@ -59,6 +59,9 @@ def test_neural_march_with_trained_like_model(scene):
     cfg = ModelConfig(hidden_dims=(16, 16), fourier_freqs=4, num_classes=4)
     model = build_model(cfg, num_modalities=4)
     params = model.init(jax.random.PRNGKey(3))
+    # Nudge the logit bias toward class 3 so the INR predicts tumor
+    # somewhere deterministic — the overlay must then be visible.
+    params[-1]["b"] = params[-1]["b"].at[3].set(5.0)
     p = rp.default_render_params(SHAPE, show_seg=True, show_pred=True)
     cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE))
     b = cam.basis()
@@ -69,5 +72,6 @@ def test_neural_march_with_trained_like_model(scene):
     img_off = np.asarray(neural_march.render_brats_neural(
         disp, zsc, seg, model, params, b, p_off, 48, 48))
     assert np.isfinite(img_off).all()
-    # (random predictions usually produce some overlay difference)
-    assert img_on.shape == img_off.shape
+    # Toggling show_pred must change the rendered content (the round-1 test
+    # only compared shapes — vacuous).
+    assert float(np.abs(img_on - img_off).max()) > 1e-3

@@ -194,12 +194,36 @@ def test_two_stage_schedule_training(dataset, tmp_path):
 
 
 def test_periodic_eval_and_best_checkpoint(dataset, tmp_path):
-    """eval_every triggers mid-training validation + best-checkpoint save."""
+    """eval_every triggers mid-training validation + best-checkpoint save +
+    rich observability (bar/table JSONL mirrors, slice overlay PNGs, live
+    dashboard — reference O3/O6)."""
     c = _tiny_config(dataset, tmp_path)
     c.eval_every = 6
     c.train_steps = 12
+    c.live_dashboard = True
     state = engine.train_inr(c)
-    best = tmp_path / "run" / f"{c.run_name}_best.npz"
+    run = tmp_path / "run"
+    best = run / f"{c.run_name}_best.npz"
     assert best.exists()
     params, info = ckpt.model_load(best)
     assert "val_mean_dice" in info
+    # rich logging artifacts
+    assert (run / f"{c.run_name}_tables.jsonl").exists()
+    media = list((run / "media").glob("val_slice_overlay_step*.png"))
+    assert media, "slice overlay PNGs missing"
+    assert (run / "dashboard.png").exists()
+    import json
+    recs = [json.loads(l) for l in
+            (run / f"{c.run_name}_scalars.jsonl").read_text().splitlines()]
+    bar_keys = [k for r in recs for k in r if k.startswith("val/dice_per_class/")]
+    assert bar_keys, "per-class bar values missing from scalars"
+
+
+def test_boundary_weighted_training(dataset, tmp_path):
+    """loss.boundary_weight > 0 builds boundary maps into the pool and the
+    jitted step consumes them."""
+    c = _tiny_config(dataset, tmp_path)
+    c.loss.boundary_weight = 2.0
+    c.train_steps = 4
+    state = engine.train_inr(c)
+    assert np.isfinite(state["history"][-1]["loss"])
