@@ -23,8 +23,11 @@ SEG_SUFFIX = "seg"
 
 def find_cases(root: pathlib.Path,
                modalities: Sequence[str] = MODALITY_SUFFIXES) -> List[pathlib.Path]:
-    """Case dirs containing at least one `{case}-{modality}.nii.gz`."""
+    """Case dirs containing at least one `{case}-{modality}.nii.gz`.
+    A missing root yields an empty list (not an error)."""
     root = pathlib.Path(root)
+    if not root.is_dir():
+        return []
     cases = []
     for p in sorted(root.iterdir()):
         if p.is_dir() and any((p / f"{p.name}-{m}.nii.gz").exists() for m in modalities):

@@ -106,3 +106,23 @@ def test_holdout_viewer(tmp_path):
     assert img.shape == (12, 24, 3)
     # cached
     assert 0 in hv._pred_cache
+
+
+def test_interactive_notebook_wellformed():
+    """notebooks/interactive.ipynb parses and its imports resolve (the full
+    run-all is exercised manually/by CI at longer budgets)."""
+    import importlib
+    import json
+    import pathlib
+    import re
+
+    nb_path = (pathlib.Path(__file__).resolve().parents[1] / "notebooks"
+               / "interactive.ipynb")
+    nb = json.loads(nb_path.read_text())
+    assert nb["nbformat"] == 4
+    code = "\n".join("".join(c["source"]) for c in nb["cells"]
+                     if c["cell_type"] == "code")
+    mods = set(re.findall(r"from (mri_raytracer_tpu[\w.]*) import", code))
+    assert len(mods) >= 5
+    for m in mods:
+        importlib.import_module(m)
