@@ -83,6 +83,26 @@ def main() -> None:
 
     print(f"[bench] fps per batch: {[round(r, 2) for r in rates]} "
           f"backend_kind={renderer.backend}", file=sys.stderr)
+
+    # North-star quality half (BASELINE.md): PSNR of the benched backend vs
+    # the lockstep oracle at the FULL bench configuration (one frame).
+    try:
+        from mri_raytracer_tpu.ops import raymarch_xla
+
+        basis = cam.basis()
+        fast = np.clip(np.asarray(renderer.render(basis, p)), 0.0, 1.0)
+        dt_oracle = float(np.min(np.asarray(p.voxel_size)))
+        p_o = p._replace(step_size=np.float32(dt_oracle))
+        oracle = np.clip(np.asarray(raymarch_xla.render_brats(
+            renderer.mods, renderer.seg, None, basis, p_o, SIZE, SIZE,
+            max_steps=640)), 0.0, 1.0)
+        mse = float(np.mean((fast - oracle) ** 2))
+        psnr = 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+        print(f"[bench] PSNR vs oracle at {SIZE}^2/{VOL[0]}^3: "
+              f"{psnr:.1f} dB (>=40 required)", file=sys.stderr)
+    except Exception as e:  # quality sanity must not break the bench metric
+        print(f"[bench] PSNR check failed: {e}", file=sys.stderr)
+
     print(json.dumps({"metric": "render_fps_1024_256", "value": round(fps, 3),
                       "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}))
 

@@ -6,24 +6,34 @@ image and transmittance in VMEM for the entire sweep:
 
   XLA stage (per frame): per-plane geometry vectors in sweep order + the
   b-axis half of the separable resample, t1b[m] = slice_m @ Wb_m^T, stored
-  bf16 (one big batched einsum, MXU-efficient).
+  bf16 (one big batched einsum, MXU-efficient). With supersample == 1 the
+  sweep planes sit at INTEGER slice indices, so the z-lerp is a no-op and
+  the slice batch is a single take in sweep order (no two-take lerp).
 
-  Kernel: grid over 128-column tiles of the intermediate; each invocation
-  fori-loops over ALL planes: DMA its (Na, 128) t1b column slab, build the
-  a-axis hat weights from iota + two SMEM scalars, one (O, Na) x (Na, 128)
-  MXU matmul completes the trilinear resample, then transfer function,
-  alpha, masks, label LUT compositing and the T <= 0.01 gate run on the VPU
-  with C/T never leaving VMEM. Intensity emission is grayscale, so the
-  kernel accumulates C_gray + per-channel label color sums (exact algebra:
-  contributions are linear in the emission color).
+  Kernel: grid over column tiles of the intermediate; each invocation
+  fori-loops over ALL planes with DOUBLE-BUFFERED slab DMA (plane m+1's
+  column slab streams in while plane m composites, hiding DMA latency —
+  2056 sequential DMA round-trips otherwise dominate the kernel). Per
+  plane: build a-axis hat weights from iota + two SMEM scalars, one
+  (O, Na) x (Na, TILE_J) MXU matmul completes the trilinear resample, then
+  transfer function, alpha, masks, label LUT compositing and the T <= 0.01
+  gate run on the VPU with C/T never leaving VMEM. Intensity emission is
+  grayscale, so the kernel accumulates C_gray + per-channel label color
+  sums (exact algebra: contributions are linear in the emission color).
 
 Exactness: same math as ``shearwarp.sweep_composite`` (golden-tested in
-interpret mode); bf16 t1b introduces <= ~2e-3 sample error like the XLA path.
+interpret mode); bf16 t1b introduces <= ~2e-3 sample error like the XLA
+path. The one intentional difference: the scan path's z = Nk edge plane
+lerps 0.999 into slice Nk-1 (clamp at Nk-1.001) while this kernel uses
+slice Nk-1 exactly — a <= 1e-3 * |slice difference| deviation on one plane.
+
+Reference parity: implements the compositing loop of
+``inr/viewer/brats_rt.slang:115-165`` (window/level transfer, alpha
+accumulation, label LUT overlays, early termination).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -34,31 +44,34 @@ from jax.experimental.pallas import tpu as pltpu
 from mri_raytracer_tpu.ops import shearwarp as sw
 from mri_raytracer_tpu.render.params import BratsRenderParams
 
-TILE_J = 128
 
-
-def _make_kernel(n_planes: int, Na: int, out_res: int, has_seg: bool,
-                 has_pred: bool, use_gamma: bool, use_clip: bool):
+def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
+                 tile_j: int, has_seg: bool, has_pred: bool, use_gamma: bool,
+                 use_clip: bool):
     def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
                vmag_ref, dt_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
-               t_ref, sem_ref):
-        # pp_ref (SMEM): (n_planes, 6) = off_a, sc_a, off_b, sc_b, lam, zpad
-        # sc_ref (SMEM): (12,) scalars: ww, wl, gamma, ia, dt_scale?, near,
-        #   far, show_seg, show_pred, step-ignored...
-        # lut_ref (SMEM): (8, 4)
-        tj = pl.program_id(0)
+               t_ref, sem_ref, semn_ref, semp_ref):
+        # pp_ref (SMEM): (n_planes, 6) = off_a, sc_a, off_b, sc_b, lam, z
+        # sc_ref (SMEM): (12,) scalars; lut_ref (SMEM): (8, 4)
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
         cg_ref[:] = jnp.zeros_like(cg_ref)
         lr_ref[:] = jnp.zeros_like(lr_ref)
         lg_ref[:] = jnp.zeros_like(lg_ref)
         lb_ref[:] = jnp.zeros_like(lb_ref)
         t_ref[:] = jnp.ones_like(t_ref)
 
-        iota_i = jax.lax.broadcasted_iota(jnp.int32, (out_res, Na), 0) \
+        # Column iota (tile_i, 1): positions are constant along the Na axis,
+        # so per-plane position math runs on (tile_i, 1) and only the final
+        # weight compare touches the full (tile_i, Na) block (VPU budget
+        # dominates this kernel — every full-size op counts).
+        iota_col = (ti * tile_i
+                    + jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)) \
             .astype(jnp.float32)
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (out_res, Na), 1) \
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_i, Na), 1) \
             .astype(jnp.float32)
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1) \
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, tile_j), 1) \
             .astype(jnp.float32)
 
         ww = sc_ref[0]
@@ -72,39 +85,57 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, has_seg: bool,
         nb_f = sc_ref[8]  # in-plane b dimension (float)
         lo = wl - 0.5 * ww
         inv_ww = 1.0 / ww
-        vmag = vmag_ref[:]
         dt = dt_ref[:]
 
+        def _copy(stream, m, slot):
+            src, dst, sem = [
+                (t1b_hbm, buf_ref, sem_ref),
+                (t1nb_hbm, bufn_ref, semn_ref),
+                (t1pb_hbm, bufp_ref, semp_ref)][stream]
+            return pltpu.make_async_copy(
+                src.at[m, :, pl.ds(tj * tile_j, tile_j)],
+                dst.at[slot], sem.at[slot])
+
+        streams = [0] + ([1] if has_seg else []) + ([2] if has_pred else [])
+
+        # Prologue: stream plane 0 into slot 0.
+        for s in streams:
+            _copy(s, 0, 0).start()
+
         def body(m, _):
+            slot = jax.lax.rem(m, 2)
+            # Kick off plane m+1 into the other slot before waiting on m.
+            @pl.when(m + 1 < n_planes)
+            def _():
+                for s in streams:
+                    _copy(s, m + 1, 1 - slot).start()
+
             off_a = pp_ref[m, 0]
             sc_a = pp_ref[m, 1]
             off_b = pp_ref[m, 2]
             sc_b = pp_ref[m, 3]
             lam = pp_ref[m, 4]
 
-            dma = pltpu.make_async_copy(
-                t1b_hbm.at[m, :, pl.ds(tj * TILE_J, TILE_J)], buf_ref,
-                sem_ref)
-            dma.start()
-
-            # a-axis hat weights + inside mask (built on the VPU).
-            pos_a = off_a + iota_i * sc_a  # (O, Na) rows all equal per i
+            # a-axis hat weights + inside mask (built on the VPU while the
+            # slab DMA completes). Position math on (O, 1); only the weight
+            # compare is full (O, Na).
+            pos_a = off_a + iota_col * sc_a  # (O, 1)
             qa = jnp.clip(pos_a, 0.0, Na - 1.001)
             wa = jnp.maximum(0.0, 1.0 - jnp.abs(qa - iota_n))
-            mask_a = ((pos_a[:, 0:1] >= 0.0)
-                      & (pos_a[:, 0:1] <= float(Na))).astype(jnp.float32)
+            mask_a = ((pos_a >= 0.0)
+                      & (pos_a <= float(Na))).astype(jnp.float32)
             # b-axis inside mask for this tile's columns.
-            pos_b = off_b + (tj * TILE_J + iota_j) * sc_b  # (1, TILE_J)
+            pos_b = off_b + (tj * tile_j + iota_j) * sc_b  # (1, tile_j)
             mask_b = ((pos_b >= 0.0) & (pos_b <= nb_f)).astype(jnp.float32)
 
-            dma.wait()
-            v = jnp.dot(wa.astype(jnp.bfloat16), buf_ref[:],
-                        preferred_element_type=jnp.float32)  # (O, TILE_J)
+            _copy(0, m, slot).wait()
+            v = jnp.dot(wa.astype(jnp.bfloat16), buf_ref[slot],
+                        preferred_element_type=jnp.float32)  # (O, tile_j)
 
             T = t_ref[:]
             act = mask_a * mask_b * (T > 0.01).astype(jnp.float32)
             if use_clip:
-                t_k = lam * vmag
+                t_k = lam * vmag_ref[:]
                 act = act * ((t_k >= near) & (t_k <= far)).astype(jnp.float32)
             else:
                 act = act * (lam >= 0.0).astype(jnp.float32)
@@ -117,16 +148,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, has_seg: bool,
             T = T * (1.0 - aI)
 
             if has_seg or has_pred:
-                qan = jnp.clip(pos_a, 0.0, Na - 1.0)
-                wan = (jnp.round(qan) == iota_n).astype(jnp.float32)
+                qan = jnp.round(jnp.clip(pos_a, 0.0, Na - 1.0))  # (O, 1)
+                wan = (qan == iota_n).astype(jnp.float32)
 
-            def overlay(t1x_hbm, bufx_ref, T, rate):
-                dman = pltpu.make_async_copy(
-                    t1x_hbm.at[m, :, pl.ds(tj * TILE_J, TILE_J)], bufx_ref,
-                    sem_ref)
-                dman.start()
-                dman.wait()
-                lab = jnp.dot(wan.astype(jnp.bfloat16), bufx_ref[:],
+            def overlay(stream, bufx_ref, T, rate):
+                _copy(stream, m, slot).wait()
+                lab = jnp.dot(wan.astype(jnp.bfloat16), bufx_ref[slot],
                               preferred_element_type=jnp.float32)
                 idx = jnp.round(lab)
                 a_lab = jnp.zeros_like(lab)
@@ -147,9 +174,9 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, has_seg: bool,
                 return T * (1.0 - aS)
 
             if has_seg:
-                T = overlay(t1nb_hbm, bufn_ref, T, (1.0, show_seg))
+                T = overlay(1, bufn_ref, T, (1.0, show_seg))
             if has_pred:
-                T = overlay(t1pb_hbm, bufp_ref, T, (1.5, show_pred))
+                T = overlay(2, bufp_ref, T, (1.5, show_pred))
             t_ref[:] = T
             return 0
 
@@ -175,6 +202,15 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     n_planes = Nk + 1
     has_seg = seg_s is not None
     has_pred = pred_s is not None
+    # 2D tiling: i-tiles shrink the VMEM accumulators (C/T per program is
+    # (tile_i, tile_j)) and halve the per-plane weight-build redundancy;
+    # wider j-tiles amortize the a-weight build across more columns. The
+    # price is re-reading the t1b slabs once per i-tile (~0.7 ms HBM at
+    # 1024^2, cheap next to the VPU work saved).
+    if out_res % 256 == 0:
+        tile_i = tile_j = 256
+    else:
+        tile_i, tile_j = out_res, 128
 
     # ---------------- per-plane geometry in sweep order (XLA)
     m = jnp.arange(n_planes, dtype=jnp.float32)
@@ -187,28 +223,25 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     sc_b = lam * geom.db / vox[2]
     pp = jnp.stack([off_a, sc_a, off_b, sc_b, lam, z], axis=-1)  # (K, 6)
 
-    # ---------------- stage 1: b-axis halves, bf16 (XLA batched einsums)
-    zq = jnp.clip(z, 0.0, Nk - 1.001)
-    z0 = jnp.floor(zq).astype(jnp.int32)
-    fz = (zq - z0.astype(jnp.float32))[:, None, None]
-    z1 = jnp.minimum(z0 + 1, Nk - 1)
-    slices = ((1.0 - fz) * jnp.take(mixed_s, z0, axis=0)
-              + fz * jnp.take(mixed_s, z1, axis=0))  # (K, Na, Nb)
+    # ---------------- stage 1: b-axis halves, bf16 (XLA batched einsums).
+    # Supersample == 1 => planes at integer slice indices: one take in sweep
+    # order, no z-lerp (the z = Nk plane clamps to the edge slice).
+    zi = jnp.clip(z, 0.0, Nk - 1).astype(jnp.int32)
+    slices = jnp.take(mixed_s, zi, axis=0)  # (K, Na, Nb)
     Wb, _ = sw._batched_hat(off_b, sc_b, Nb, out_res)  # (K, O, Nb)
     t1b = jnp.einsum("knb,kob->kno", slices.astype(jnp.bfloat16),
                      Wb.astype(jnp.bfloat16),
                      preferred_element_type=jnp.bfloat16)  # (K, Na, O)
 
-    zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
     Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res)
     if has_seg:
-        segsl = jnp.take(seg_s, zn, axis=0).astype(jnp.bfloat16)
+        segsl = jnp.take(seg_s, zi, axis=0).astype(jnp.bfloat16)
         t1nb = jnp.einsum("knb,kob->kno", segsl, Wbn.astype(jnp.bfloat16),
                           preferred_element_type=jnp.bfloat16)
     else:
         t1nb = jnp.zeros((1, Na, out_res), jnp.bfloat16)
     if has_pred:
-        predsl = jnp.take(pred_s, zn, axis=0).astype(jnp.bfloat16)
+        predsl = jnp.take(pred_s, zi, axis=0).astype(jnp.bfloat16)
         t1pb = jnp.einsum("knb,kob->kno", predsl, Wbn.astype(jnp.bfloat16),
                           preferred_element_type=jnp.bfloat16)
     else:
@@ -222,33 +255,37 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         jnp.where(p.show_pred > 0, 1.0, 0.0),
         jnp.float32(Nb), jnp.float32(0), jnp.float32(0), jnp.float32(0)])
 
-    n_tiles = out_res // TILE_J
+    n_ti = out_res // tile_i
+    n_tj = out_res // tile_j
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # pp, scalars, lut
-        grid=(n_tiles,),
+        grid=(n_ti, n_tj),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # t1b
-            pl.BlockSpec(memory_space=pltpu.ANY),  # t1nb
-            pl.BlockSpec(memory_space=pltpu.ANY),  # t1pb
-            pl.BlockSpec((out_res, TILE_J), lambda t, *s: (0, t)),  # vmag
-            pl.BlockSpec((out_res, TILE_J), lambda t, *s: (0, t)),  # dt
+            pl.BlockSpec(memory_space=pl.ANY),  # t1b
+            pl.BlockSpec(memory_space=pl.ANY),  # t1nb
+            pl.BlockSpec(memory_space=pl.ANY),  # t1pb
+            pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # vmag
+            pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # dt
         ],
-        out_specs=pl.BlockSpec((4, out_res, TILE_J), lambda t, *s: (0, 0, t)),
+        out_specs=pl.BlockSpec((4, tile_i, tile_j),
+                               lambda i, j, *s: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((Na, TILE_J), jnp.bfloat16),  # t1b buf
-            pltpu.VMEM((Na, TILE_J), jnp.bfloat16),  # t1nb buf
-            pltpu.VMEM((Na, TILE_J), jnp.bfloat16),  # t1pb buf
-            pltpu.VMEM((out_res, TILE_J), jnp.float32),  # C gray
-            pltpu.VMEM((out_res, TILE_J), jnp.float32),  # L r
-            pltpu.VMEM((out_res, TILE_J), jnp.float32),  # L g
-            pltpu.VMEM((out_res, TILE_J), jnp.float32),  # L b
-            pltpu.VMEM((out_res, TILE_J), jnp.float32),  # T
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1b double buffer
+            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1nb double buffer
+            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1pb double buffer
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # C gray
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L r
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L g
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L b
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # T
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(n_planes, Na, out_res, has_seg, has_pred, use_gamma,
-                     use_clip),
+        _make_kernel(n_planes, Na, out_res, tile_i, tile_j, has_seg, has_pred,
+                     use_gamma, use_clip),
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -6,11 +6,15 @@ orbits/slider changes never recompile — the TPU analog of the reference's
 per-frame ``kernel.dispatch`` (``inr/viewer/brats_viewer.py:431-442``).
 
 Backends:
-  * 'xla'    — the lockstep while-loop marcher (ops/raymarch_xla), exact
-               oracle semantics
-  * 'pallas' — tiled Pallas TPU kernel (ops/raymarch_pallas), golden-tested
-               against the oracle
-  * 'auto'   — pallas on TPU, xla elsewhere
+  * 'sweep'        — shear-warp sweep (ops/shearwarp): MXU-matmul resampling
+                     with XLA lax.scan compositing
+  * 'sweep_pallas' — same sweep, compositing fused into a Pallas TPU kernel
+                     with C/T resident in VMEM (ops/pallas_composite);
+                     requires sweep resolution % 128 == 0
+  * 'xla'          — the lockstep while-loop marcher (ops/raymarch_xla),
+                     exact oracle semantics, slow (golden-test reference)
+  * 'auto'         — the fastest measured path for the platform
+                     (sweep_pallas on TPU, sweep elsewhere)
 """
 
 from __future__ import annotations
@@ -26,12 +30,18 @@ from mri_raytracer_tpu.render.camera import CameraBasis, OrbitalCamera
 from mri_raytracer_tpu.render.params import BratsRenderParams
 
 
+_BACKENDS = ("auto", "sweep", "sweep_pallas", "xla")
+
+
 def _resolve_backend(backend: str) -> str:
+    if backend not in _BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; choose from {_BACKENDS}")
     if backend != "auto":
         return backend
-    # The shear-warp sweep is the fast path everywhere; 'xla' (the lockstep
-    # gather marcher) remains the oracle for golden tests.
-    return "sweep"
+    # Measured on v5e (docs/RESULTS_r2.md): the fused Pallas compositing
+    # kernel beats the XLA scan; 'xla' (the lockstep gather marcher) remains
+    # the oracle for golden tests.
+    return "sweep_pallas" if jax.default_backend() == "tpu" else "sweep"
 
 
 class BratsRenderer:
@@ -51,28 +61,56 @@ class BratsRenderer:
         self.backend = _resolve_backend(backend)
         self._build()
 
+    @staticmethod
+    def _params_key(params) -> tuple:
+        """Value-based cache key: id() of transient pytrees is not stable
+        (freed objects can reuse addresses; numpy leaves can be mutated in
+        place), so hash the actual leaf bytes — params are tiny."""
+        return tuple(np.asarray(leaf).tobytes()
+                     for leaf in jax.tree_util.tree_leaves(params))
+
     def _build(self) -> None:
         self._p_cache = (None, None, None, None)
-        if self.backend == "sweep":
+        self._prep_cache = {}  # (axis, blend_key) -> (mixed_s, seg_s, pred_s)
+        if self.backend in ("sweep", "sweep_pallas"):
             from mri_raytracer_tpu.ops import shearwarp
+
+            composite = "pallas" if self.backend == "sweep_pallas" else "scan"
 
             def call(mods, seg, pred, basis, params):
                 # Cache the device copy of params + static flags per params
-                # object: an unchanged params pytree costs ZERO per-frame
+                # VALUE: an unchanged params pytree costs ZERO per-frame
                 # host->device transfers (the camera is one packed (13,)
                 # vector), which matters on high-latency device links.
-                pid = id(params)
-                if self._p_cache[0] != pid:
+                key = self._params_key(params)
+                if self._p_cache[0] != key:
                     use_gamma = abs(float(np.asarray(params.gamma)) - 1.0) > 1e-12
                     use_clip = (float(np.asarray(params.near)) > 0.0
                                 or float(np.asarray(params.far)) > 0.0)
-                    self._p_cache = (pid, jax.device_put(params), use_gamma,
+                    self._p_cache = (key, jax.device_put(params), use_gamma,
                                      use_clip)
                 _, p_dev, use_gamma, use_clip = self._p_cache
-                return shearwarp.render_brats(
-                    mods, seg, pred, basis, p_dev, self.width, self.height,
-                    out_res=self.sweep_res, supersample=self.supersample,
-                    use_gamma=use_gamma, use_clip=use_clip)
+                # Blended+permuted volumes are camera-independent: cache per
+                # (axis, blend weights); invalidated by set_prediction.
+                axis = shearwarp.dominant_axis(basis)
+                blend_key = (axis,
+                             np.asarray(params.vol_enabled).tobytes(),
+                             np.asarray(params.vol_weight).tobytes())
+                prep = self._prep_cache.get(blend_key)
+                if prep is None:
+                    zeros = jnp.zeros((1, 1, 1), jnp.int32)
+                    prep = shearwarp.prepare_sweep_volumes(
+                        mods, seg if seg is not None else zeros,
+                        pred if pred is not None else zeros, p_dev, axis,
+                        seg is not None, pred is not None)
+                    self._prep_cache[blend_key] = prep
+                mixed_s, seg_s, pred_s = prep
+                out_res = self.sweep_res or max(self.width, self.height)
+                return shearwarp.render_prepared(
+                    mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
+                    self.height, out_res, supersample=self.supersample,
+                    use_gamma=use_gamma, use_clip=use_clip,
+                    composite=composite)
         else:
             fn = raymarch_xla.render_brats
 
@@ -98,6 +136,7 @@ class BratsRenderer:
     def set_prediction(self, pred: Optional[np.ndarray]) -> None:
         """Upload an INR prediction volume (reference 'Load INR & Predict')."""
         self.pred = None if pred is None else jnp.asarray(pred, jnp.int32)
+        self._prep_cache.clear()  # prepared volumes embed has_pred/pred data
 
     def render(self, basis: CameraBasis, params: BratsRenderParams) -> jnp.ndarray:
         return self._call(self.mods, self.seg, self.pred, basis, params)
