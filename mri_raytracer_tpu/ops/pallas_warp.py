@@ -1,22 +1,29 @@
 """Pallas TPU kernel: homography warp of the sweep intermediate to screen.
 
-The XLA fallback warps via one 12-float row-gather per pixel (~8 ms at
-1024^2 through XLA's gather path). This kernel removes the gather entirely:
+The XLA fallback warps via one 12-float row-gather per pixel (~7 ms device
+time at 1024^2 through XLA's gather path). This kernel removes the gather
+entirely:
 
-  * grid = output tiles of 1024 pixels (8 x 128 blocks, pre-flattened on
-    the XLA side so the kernel only ever sees layout-friendly 2-D shapes);
-  * per tile, the source footprint of the (smooth) homography is a small
-    rectangle — its start offsets are precomputed and scalar-prefetched so
-    the kernel DMAs a static (3, 32, 256) window of the channels-major
-    intermediate from HBM into VMEM;
+  * grid = output tiles of 1024 pixels. Tiles are 32 x 32 pixel SQUARES
+    (pre-flattened on the XLA side so the kernel only ever sees
+    layout-friendly 2-D shapes): under the rotation+perspective of the
+    homography a square's source bounding box stays ~tile_size * sqrt(2)
+    per axis, so a fixed window covers it at any camera angle — the
+    original 8 x 128 tile shape spanned ~128 source rows when the view was
+    rotated and the window fit almost never engaged in production;
+  * per tile, the footprint's start offsets are precomputed and
+    scalar-prefetched; the kernel DMAs a static (3, 72, 256) window of the
+    channels-major intermediate from HBM into VMEM, DOUBLE-BUFFERED (the
+    next tile's window streams while the current tile interpolates);
   * bilinear interpolation = hat-weight algebra on the MXU/VPU:
         wj (win_j, P) from a sublane-broadcast + iota compare,
         tmp = W @ wj            (matmul, (win_i, win_j) x (win_j, P))
         out = sum_k wi * tmp    (VPU columnwise reduction)
     — zero gathers, zero in-kernel reshapes/transposes.
 
-Tiles whose footprint exceeds the window (extreme minification) are detected
-on the XLA side; the caller falls back to the gather warp for that frame.
+Tiles whose footprint exceeds the window (extreme minification, i.e. the
+intermediate is much finer than the screen) are detected on the XLA side;
+the caller falls back to the gather warp for that frame.
 """
 
 from __future__ import annotations
@@ -29,12 +36,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_I, TILE_J = 8, 128
+TILE_I, TILE_J = 32, 32
 PIX = TILE_I * TILE_J  # pixels per tile (one kernel invocation)
-WIN_I, WIN_J = 32, 384
+# Window sized for measured worst-case tile footprints at 1024^2/out_res
+# 1024 over an orbit (~118 x 98 incl. silhouette magnification + alignment
+# slack); extreme minification still falls back to the gather warp.
+WIN_I, WIN_J = 128, 256
 
 
-def _make_warp_kernel(win_i: int, win_j: int, group: int):
+def _make_warp_kernel(win_i: int, win_j: int, group: int, n_groups: int):
     GROUP = group
 
     def _warp_kernel(starts_ref, imap_ref, jmap_ref, chbm_ref, out_ref,
@@ -45,15 +55,27 @@ def _make_warp_kernel(win_i: int, win_j: int, group: int):
         kJ = jax.lax.broadcasted_iota(jnp.int32, (win_j, PIX), 0) \
             .astype(jnp.float32)
 
-        for g in range(GROUP):
-            si = pl.multiple_of(starts_ref[t * GROUP + g, 0], 8)
-            sj = pl.multiple_of(starts_ref[t * GROUP + g, 1], 128)
-            dma = pltpu.make_async_copy(
-                chbm_ref.at[:, pl.ds(si, win_i), pl.ds(sj, win_j)], win_ref,
-                sem_ref)
-            dma.start()
-            dma.wait()
+        def _copy(idx, slot):
+            si = pl.multiple_of(starts_ref[idx, 0], 8)
+            sj = pl.multiple_of(starts_ref[idx, 1], 128)
+            return pltpu.make_async_copy(
+                chbm_ref.at[:, pl.ds(si, win_i), pl.ds(sj, win_j)],
+                win_ref.at[slot], sem_ref.at[slot])
 
+        _copy(t * GROUP, 0).start()
+
+        for g in range(GROUP):
+            idx = t * GROUP + g
+            slot = g % 2
+            # Prefetch the next tile's window into the other slot
+            # (within-group only: scratch-state handoff across grid steps
+            # would race the unconditional prologue start).
+            if g + 1 < GROUP:
+                _copy(idx + 1, 1 - slot).start()
+            _copy(idx, slot).wait()
+
+            si = pl.multiple_of(starts_ref[idx, 0], 8)
+            sj = pl.multiple_of(starts_ref[idx, 1], 128)
             li = imap_ref[g:g + 1, :] - si.astype(jnp.float32)  # (1, P)
             lj = jmap_ref[g:g + 1, :] - sj.astype(jnp.float32)
             # Hat weights, (win, P): sublane-broadcast of the pixel row
@@ -61,9 +83,14 @@ def _make_warp_kernel(win_i: int, win_j: int, group: int):
             wi = jnp.maximum(0.0, 1.0 - jnp.abs(li - kI))
             wj = jnp.maximum(0.0, 1.0 - jnp.abs(lj - kJ))
 
+            wj16 = wj.astype(jnp.bfloat16)
             for ch in range(3):
-                w = win_ref[ch]  # (win_i, win_j)
-                tmp = jnp.dot(w, wj, preferred_element_type=jnp.float32)
+                w = win_ref[slot, ch]  # (win_i, win_j)
+                # bf16 matmul with f32 accumulation: weight rounding is
+                # <= 2^-8 of a sub-pixel fraction, invisible next to the
+                # compositing tolerance.
+                tmp = jnp.dot(w.astype(jnp.bfloat16), wj16,
+                              preferred_element_type=jnp.float32)
                 out_ref[ch, g:g + 1, :] = jnp.sum(wi * tmp, axis=0,
                                                   keepdims=True)
 
@@ -86,6 +113,7 @@ def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
     # Blocks need sublane divisibility by 8 (or the full array dimension).
     group = 8 if nT % 8 == 0 else nT
     assert nT <= 8 or nT % 8 == 0, f"unsupported tile count {nT}"
+    n_groups = nT // group
 
     def tiles(m):
         """(H, W) -> (nT, PIX): per-tile row-major pixel flattening."""
@@ -111,20 +139,20 @@ def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nT // group,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((group, PIX), lambda t, s: (t, 0)),
             pl.BlockSpec((group, PIX), lambda t, s: (t, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((3, group, PIX), lambda t, s: (0, t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((3, win_i, win_j), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, win_i, win_j), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_warp_kernel(win_i, win_j, group),
+        _make_warp_kernel(win_i, win_j, group, n_groups),
         out_shape=jax.ShapeDtypeStruct((3, nT, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

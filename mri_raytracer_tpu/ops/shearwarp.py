@@ -476,6 +476,11 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
     j_map = (hit_b - geom.b0) / geom.db
     valid = (t_base > 0.0) & (i_map >= 0.0) & (i_map <= O - 1) & \
             (j_map >= 0.0) & (j_map <= O - 1)
+    # Clamp BEFORE warping: invalid pixels (masked to bg below) otherwise
+    # blow up per-tile source footprints (grazing rays hit the base plane
+    # kilometers out) and force the Pallas warp's fit check to fail.
+    i_map = jnp.clip(i_map, 0.0, O - 1.0)
+    j_map = jnp.clip(j_map, 0.0, O - 1.0)
 
     def gather_warp(C, i_map, j_map):
         # ONE row-gather per output pixel: pre-concat the 4 bilinear
@@ -497,7 +502,9 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
         return (quad[..., 0, :] * w00 + quad[..., 1, :] * w01
                 + quad[..., 2, :] * w10 + quad[..., 3, :] * w11)
 
-    if use_pallas and height % 16 == 0 and width % 128 == 0:
+    from mri_raytracer_tpu.ops.pallas_warp import TILE_I, TILE_J
+
+    if use_pallas and height % TILE_I == 0 and width % TILE_J == 0:
         from mri_raytracer_tpu.ops.pallas_warp import warp_pallas
 
         C3 = jnp.moveaxis(C, -1, 0)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Neural-march (mode 2) benchmark: fps at 1024^2 and the in-march MLP
+overhead vs the baked-overlay sweep (reference target < 1 ms/frame,
+``docs/Goals.md:66``; mode definition ``docs/Goals.md:33-34``).
+
+Compares three configurations on the same volume/camera orbit:
+  1. sweep with NO overlay            (floor)
+  2. sweep with a BAKED pred overlay  (mode 1)
+  3. fused neural march               (mode 2: INR evaluated in-sweep)
+
+MLP overhead = frame_time(mode 2) - frame_time(mode 1). Writes one JSON line
+and appends to docs/RESULTS_r2.md when --write-doc is passed.
+"""
+import argparse
+import json
+import pathlib as _pl
+import sys
+import time
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--vol", type=int, default=256)
+    ap.add_argument("--hidden", default="32,32")
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--write-doc", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_raytracer_tpu.config import ModelConfig
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.eval.inference import predict_volume
+    from mri_raytracer_tpu.models.api import build_model
+    from mri_raytracer_tpu.ops import neural_march, shearwarp as sw
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    V = (args.vol, args.vol, args.vol)
+    S = args.size
+    mods, seg = synthetic.synthetic_case(V, seed=0)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m) for m in mods]))
+    zsc = jnp.asarray(np.stack([brats.zscore_nonzero(m.copy()) for m in mods]))
+    segj = jnp.asarray(seg.astype(np.int32))
+
+    hidden = tuple(int(x) for x in args.hidden.split(","))
+    cfg = ModelConfig(hidden_dims=hidden, fourier_freqs=6, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    print(f"[nm] INR: hidden={hidden} params={n_params} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    p = rp.default_render_params(V, show_seg=True, show_pred=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, V), theta=0.6,
+                        phi=1.2)
+
+    # mode 1 prep: bake the prediction volume once.
+    t0 = time.perf_counter()
+    pred, _ = predict_volume(model, params,
+                             {"mods": np.asarray(zsc), "seg": seg})
+    bake_s = time.perf_counter() - t0
+    predj = jnp.asarray(pred.astype(np.int32))
+
+    def orbit_fps(render_fn):
+        camx = OrbitalCamera(radius=rp.default_camera_radius(p, V),
+                             theta=0.6, phi=1.2)
+        img = render_fn(camx.basis())
+        float(jnp.sum(img))
+        rates = []
+        for _ in range(args.batches):
+            t0 = time.perf_counter()
+            for _ in range(args.frames):
+                camx.orbit(0.03, 0.01)
+                img = render_fn(camx.basis())
+            float(jnp.sum(img))
+            rates.append(args.frames / (time.perf_counter() - t0))
+        return float(np.median(rates))
+
+    fps_plain = orbit_fps(lambda b: sw.render_brats(
+        disp, segj, None, b, p, S, S, composite="pallas"))
+    fps_baked = orbit_fps(lambda b: sw.render_brats(
+        disp, segj, predj, b, p, S, S, composite="pallas"))
+    fps_neural = orbit_fps(lambda b: neural_march.render_brats_neural(
+        disp, zsc, segj, model, params, b, p, S, S))
+
+    ms = {k: 1000.0 / v for k, v in
+          {"plain": fps_plain, "baked": fps_baked, "neural": fps_neural}.items()}
+    overhead = ms["neural"] - ms["baked"]
+    print(f"[nm] fps: plain={fps_plain:.1f} baked={fps_baked:.1f} "
+          f"neural={fps_neural:.1f}; bake={bake_s:.2f}s", file=sys.stderr)
+    print(f"[nm] in-march MLP overhead: {overhead:.2f} ms/frame "
+          f"(<1 ms target)", file=sys.stderr)
+    rec = {"metric": "neural_march_fps", "value": round(fps_neural, 2),
+           "unit": "fps", "mlp_overhead_ms": round(overhead, 3),
+           "baked_fps": round(fps_baked, 2), "plain_fps": round(fps_plain, 2),
+           "bake_seconds": round(bake_s, 2), "params": n_params,
+           "size": S, "vol": args.vol}
+    print(json.dumps(rec))
+    if args.write_doc:
+        doc = _pl.Path(__file__).resolve().parents[1] / "docs" / "RESULTS_r2.md"
+        with open(doc, "a") as f:
+            f.write(f"\n## Neural march (mode 2) at {S}^2 on {args.vol}^3\n\n"
+                    f"| config | fps | ms/frame |\n|---|---|---|\n"
+                    f"| sweep, no overlay | {fps_plain:.1f} | "
+                    f"{ms['plain']:.2f} |\n"
+                    f"| mode 1 (baked overlay) | {fps_baked:.1f} | "
+                    f"{ms['baked']:.2f} |\n"
+                    f"| mode 2 (fused neural march) | {fps_neural:.1f} | "
+                    f"{ms['neural']:.2f} |\n\n"
+                    f"In-march MLP overhead ({n_params}-param INR): "
+                    f"**{overhead:.2f} ms/frame** (Goals.md target < 1 ms). "
+                    f"One-time bake cost avoided: {bake_s:.2f} s.\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

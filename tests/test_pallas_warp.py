@@ -23,14 +23,14 @@ def _gather_ref(C, i_map, j_map):
 
 def test_warp_pallas_matches_bilinear():
     rng = np.random.default_rng(0)
-    O = 64
-    H, W = 16, 256
+    O = 128
+    H = W = 2 * TILE_I  # 2x2 tile grid
     C = rng.normal(0, 1, (O, O, 3)).astype(np.float32)
-    # smooth affine-ish map with small footprint per tile
+    # Rotated-ish smooth map: per-tile footprints must fit the (aligned)
+    # kernel window — includes cross-terms like a real homography.
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    # gentle map: per-tile footprints must fit the (aligned) kernel window
-    i_map = (yy * (O - 2) / H * 0.45 + xx * 0.01 + 0.3).astype(np.float32)
-    j_map = (xx * (O - 2) / W * 0.9 + yy * 0.02 + 0.2).astype(np.float32)
+    i_map = (yy * 0.8 + xx * 0.35 + 2.3).astype(np.float32)
+    j_map = (xx * 0.85 - yy * 0.3 + 40.2).astype(np.float32)
     i_map = np.clip(i_map, 0, O - 1.01)
     j_map = np.clip(j_map, 0, O - 1.01)
 
@@ -39,18 +39,20 @@ def test_warp_pallas_matches_bilinear():
                             interpret=True)
     assert bool(fits)
     ref = _gather_ref(C, i_map, j_map)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # Kernel interpolates in bf16 (f32 accumulate): ~2^-8 relative on the
+    # N(0,1) test data.
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.02, atol=0.02)
 
 
 def test_warp_pallas_detects_oversized_footprint():
-    O = 64
-    H, W = 8, 256
+    O = 256
+    H = W = 2 * TILE_I
     C = np.zeros((O, O, 3), np.float32)
-    # minifying map: ONE 8-row tile spans nearly all 62 source rows -> the
-    # footprint exceeds the 32-row window
+    # Minifying map: one 32-row tile spans ~4x its size in source rows,
+    # exceeding the window allowance.
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    j_map = (xx / W * (O - 2)).astype(np.float32)
-    i_map = (yy / (H - 1) * (O - 2)).astype(np.float32)
+    i_map = (yy * 3.9).astype(np.float32)
+    j_map = (xx * 0.9).astype(np.float32)
     _, fits = warp_pallas(jnp.moveaxis(jnp.asarray(C), -1, 0),
                           jnp.asarray(i_map), jnp.asarray(j_map), H, W,
                           interpret=True)
