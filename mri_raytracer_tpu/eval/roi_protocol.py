@@ -103,16 +103,21 @@ def make_views(radius: float, held_out: bool = False) -> List[np.ndarray]:
     return out
 
 
-def _median_time(fn, n_frames: int) -> float:
-    """Median wall-clock seconds per call, scalar-readback synced."""
+def _median_time(fn, n_frames: int, batches: int = 3) -> float:
+    """Median wall-clock seconds per call.
+
+    Frames are queued back-to-back and synced once per batch (scalar
+    readback), like an interactive loop — per-frame syncing would measure
+    the dispatch round-trip of a remote-attached device, not the renderer."""
     out = fn()
     float(jnp.sum(out))  # warm + sync
     ts = []
-    for _ in range(n_frames):
+    for _ in range(batches):
         t0 = time.perf_counter()
-        out = fn()
+        for _ in range(n_frames):
+            out = fn()
         float(jnp.sum(out))
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0) / n_frames)
     return float(np.median(ts))
 
 
@@ -142,8 +147,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     out = {"budgets": list(budgets), "baseline": [], "policy": [],
            "ref_steps": ref_steps, "width": width, "height": height}
     for n in budgets:
-        b_psnr, b_w, b_ms, b_steps = [], [], [], []
-        p_psnr, p_w, p_ms, p_steps = [], [], [], []
+        b_psnr, b_w, b_steps = [], [], []
+        p_psnr, p_w, p_steps = [], [], []
         for bv, ref, wmap in zip(views, refs, wmaps):
             bvj = jnp.asarray(bv)
             img, steps = roi_policy.render_fixed(mixed, bvj, p, width,
@@ -151,25 +156,28 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
             b_psnr.append(psnr(img, ref))
             b_w.append(psnr(img, ref, wmap))
             b_steps.append(float(steps))
-            b_ms.append(_median_time(
-                lambda: roi_policy.render_fixed(mixed, bvj, p, width, height,
-                                                n)[0], n_frames))
             pimg, stats = roi_policy.render_policy(
                 policy, *st, bvj, p, width, height, n_coarse, n, cfg)
             p_psnr.append(psnr(pimg, ref))
             p_w.append(psnr(pimg, ref, wmap))
             p_steps.append(float(stats["steps_per_ray"]))
-            p_ms.append(_median_time(
-                lambda: roi_policy.render_policy(policy, *st, bvj, p, width,
-                                                 height, n_coarse, n,
-                                                 cfg)[0], n_frames))
+        # Frame time per budget is view-independent (fixed sample counts);
+        # measure once on the first view.
+        bv0 = jnp.asarray(views[0])
+        b_ms = _median_time(
+            lambda: roi_policy.render_fixed(mixed, bv0, p, width, height,
+                                            n)[0], n_frames)
+        p_ms = _median_time(
+            lambda: roi_policy.render_policy(policy, *st, bv0, p, width,
+                                             height, n_coarse, n, cfg)[0],
+            n_frames)
         out["baseline"].append({
             "n": n, "psnr": float(np.mean(b_psnr)),
-            "wpsnr": float(np.mean(b_w)), "ms": 1e3 * float(np.median(b_ms)),
+            "wpsnr": float(np.mean(b_w)), "ms": 1e3 * b_ms,
             "steps": float(np.mean(b_steps))})
         out["policy"].append({
             "n": n, "psnr": float(np.mean(p_psnr)),
-            "wpsnr": float(np.mean(p_w)), "ms": 1e3 * float(np.median(p_ms)),
+            "wpsnr": float(np.mean(p_w)), "ms": 1e3 * p_ms,
             "steps": float(np.mean(p_steps))})
     return out
 

@@ -144,3 +144,41 @@ def orbax_checkpointer():
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer()
+
+
+# ------------------------------------------------- full training-state resume
+def save_train_state(path, params: Any, opt_state: Any, key: Any,
+                     step: int, info: Optional[Dict[str, Any]] = None) -> None:
+    """Exact-resume checkpoint: params + optimizer state + RNG key + step.
+
+    The reference resumes params only (``inr/inr/train.py:162-183``), which
+    resets Adam moments and the sampling stream; this format makes resume
+    bit-exact. Object-array npz like ``save_object`` (loadable by
+    ``load_params`` too — the 'params' key is present and first).
+    """
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    def obj(x):
+        arr = np.empty((), dtype=object)
+        arr[()] = jax.tree_util.tree_map(np.asarray, x)
+        return arr
+
+    np.savez_compressed(path, params=obj(params), opt_state=obj(opt_state),
+                        rng_key=np.asarray(key), step=np.int64(step))
+    if info is not None:
+        path.with_name(f"{path.stem}_info.json").write_text(
+            json.dumps(info, indent=2, default=str))
+
+
+def load_train_state(path) -> Dict[str, Any]:
+    """Load an exact-resume checkpoint -> dict(params, opt_state, rng_key,
+    step). Raises KeyError if ``path`` is a params-only checkpoint."""
+    with np.load(path, allow_pickle=True) as z:
+        if "opt_state" not in z.files:
+            raise KeyError(f"{path} is not a train-state checkpoint "
+                           f"(keys: {z.files})")
+        return {"params": z["params"][()],
+                "opt_state": z["opt_state"][()],
+                "rng_key": z["rng_key"],
+                "step": int(z["step"])}

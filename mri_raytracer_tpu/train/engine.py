@@ -74,15 +74,28 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
     key, k_init = jax.random.split(key)
     params = model.init(k_init)
 
+    start_step = 0
+    resumed_state = None
     if config.resume_from:
-        loaded = ckpt.load_params(config.resume_from)
+        try:
+            resumed_state = ckpt.load_train_state(config.resume_from)
+            loaded = resumed_state["params"]
+        except KeyError:
+            loaded = ckpt.load_params(config.resume_from)
         ckpt.check_resume_shapes(params, loaded)
         params = jax.tree_util.tree_map(jnp.asarray, loaded)
-        print(f"[train] resumed from {config.resume_from}")
+        print(f"[train] resumed from {config.resume_from}"
+              + (" (exact train state)" if resumed_state else " (params only)"))
 
     # ----------------------------------------------------------- optimizer
     optimizer = optimizers.build_optimizer(config.optim, config.train_steps)
     opt_state = optimizer.init(params)
+    if resumed_state is not None:
+        # Exact resume: optimizer moments + RNG stream + step counter.
+        opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                           resumed_state["opt_state"])
+        key = jnp.asarray(resumed_state["rng_key"])
+        start_step = resumed_state["step"]
 
     # global = micro * accum * dp: each data-parallel shard samples its own
     # micro-batches, so accumulation shrinks as the mesh grows.
@@ -118,7 +131,7 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
     t_start = time.time()
     history = []
     best_val = {"mean_dice": -1.0, "step": -1}
-    for step in range(1, config.train_steps + 1):
+    for step in range(start_step + 1, config.train_steps + 1):
         dev_pool.maybe_refresh(step, dc.pool_refresh)
         key, k_step = jax.random.split(key)
         params, opt_state, m = step_fn(params, opt_state, k_step,
@@ -139,6 +152,10 @@ def train_inr(config: TrainConfig | Dict[str, Any], use_wandb: Optional[bool] = 
                 ckpt.save_flat(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
             else:
                 ckpt.save_object(params, out_dir / f"{config.run_name}_step{step:06d}.npz")
+            # Exact-resume state (latest only; overwritten each time).
+            ckpt.save_train_state(
+                out_dir / f"{config.run_name}_trainstate.npz", params,
+                opt_state, key, step, info={"step": step})
         # Periodic validation + slice viz + best-checkpoint tracking
         # (reference T1: predict_slice every N steps, best save after val).
         if (config.eval_every > 0 and step % config.eval_every == 0

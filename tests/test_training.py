@@ -227,3 +227,30 @@ def test_boundary_weighted_training(dataset, tmp_path):
     c.train_steps = 4
     state = engine.train_inr(c)
     assert np.isfinite(state["history"][-1]["loss"])
+
+
+def test_exact_train_state_resume(dataset, tmp_path):
+    """Resuming from a train-state checkpoint (params + opt moments + RNG +
+    step) reproduces the uninterrupted run bit-exactly."""
+    ca = _tiny_config(dataset, tmp_path)
+    ca.train_steps = 8
+    ca.checkpoint_every = 4
+    ca.out_dir = str(tmp_path / "runA")
+    full = engine.train_inr(ca)
+
+    cb = _tiny_config(dataset, tmp_path)
+    cb.train_steps = 4
+    cb.checkpoint_every = 4
+    cb.out_dir = str(tmp_path / "runB")
+    engine.train_inr(cb)
+    cc = _tiny_config(dataset, tmp_path)
+    cc.train_steps = 8
+    cc.checkpoint_every = 0
+    cc.out_dir = str(tmp_path / "runB2")
+    cc.resume_from = str(tmp_path / "runB" / f"{cb.run_name}_trainstate.npz")
+    resumed = engine.train_inr(cc)
+
+    fa = jax.tree_util.tree_leaves(full["params"])
+    fb = jax.tree_util.tree_leaves(resumed["params"])
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
