@@ -254,3 +254,51 @@ def test_exact_train_state_resume(dataset, tmp_path):
     fb = jax.tree_util.tree_leaves(resumed["params"])
     for a, b in zip(fa, fb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_written_checkpoint_fixtures(tmp_path):
+    """Load checkpoints written EXACTLY the way the reference writes them
+    (raw numpy, no framework code) — interop by fixture, not construction.
+
+    Formats per inr/inr/train.py:216-223 (flat), :371-411 (object-array +
+    sidecar) and inr/inr/model.py:217-301 (single-key fallback)."""
+    rng = np.random.default_rng(0)
+    layers = [{"W": rng.normal(size=(7, 16)).astype(np.float32),
+               "b": rng.normal(size=(16,)).astype(np.float32)},
+              {"W": rng.normal(size=(16, 4)).astype(np.float32),
+               "b": rng.normal(size=(4,)).astype(np.float32)}]
+
+    # 1. periodic flat checkpoint: np.savez_compressed(W_0, b_0, ...)
+    flat_p = tmp_path / "ref_step000200.npz"
+    np.savez_compressed(flat_p, **{f"W_{i}": l["W"] for i, l in enumerate(layers)},
+                        **{f"b_{i}": l["b"] for i, l in enumerate(layers)})
+    got = ckpt.load_params(flat_p)
+    for a, b in zip(got, layers):
+        np.testing.assert_array_equal(a["W"], b["W"])
+        np.testing.assert_array_equal(a["b"], b["b"])
+
+    # 2. final object-array checkpoint + _info.json sidecar
+    obj_p = tmp_path / "ref_run.npz"
+    arr = np.empty((), dtype=object)
+    arr[()] = layers
+    np.savez_compressed(obj_p, params=arr)
+    (tmp_path / "ref_run_info.json").write_text(json.dumps(
+        {"FOURIER_FREQS": 6, "HIDDEN_DIMS": [16], "NUM_CLASSES": 4}))
+    got, cfg = ckpt.model_load(obj_p)
+    np.testing.assert_array_equal(got[0]["W"], layers[0]["W"])
+    assert cfg["FOURIER_FREQS"] == 6
+
+    # 3. single-key fallback
+    single_p = tmp_path / "ref_other.npz"
+    np.savez(single_p, weights=arr)
+    got = ckpt.load_params(single_p)
+    np.testing.assert_array_equal(got[1]["b"], layers[1]["b"])
+
+    # 4. reverse direction: a reference-style reader (raw numpy, the
+    # model_load logic) understands OUR save_flat output.
+    ours = tmp_path / "ours_flat.npz"
+    ckpt.save_flat(layers, ours)
+    with np.load(ours) as z:
+        n = sum(1 for k in z.files if k.startswith("W_"))
+        assert n == 2
+        np.testing.assert_array_equal(z["W_1"], layers[1]["W"])
