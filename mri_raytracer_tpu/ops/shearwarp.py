@@ -200,9 +200,21 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     p: BratsRenderParams, axis: int, out_res: int,
                     supersample: int = 1, use_gamma: bool = True,
                     use_clip: bool = True,
-                    out_cols: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    out_cols: Optional[int] = None,
+                    z_offset=None, nk_global: Optional[int] = None,
+                    term_gate: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan over slice planes; returns intermediate (O,O,3) emission and
-    (O,O) transmittance. Volumes are pre-permuted to (K, A, B)."""
+    (O,O) transmittance. Volumes are pre-permuted to (K, A, B).
+
+    Slab mode (volume sharding, parallel/render.py): ``mixed_s`` holds a
+    k-contiguous SLAB of a larger volume; ``z_offset`` (traced scalar) is
+    the slab's first global slice index and ``nk_global`` the full volume
+    depth. The slab composites its own planes only (the closing plane
+    z = nk_global is composited by whichever slab owns the volume end) and
+    ``term_gate=False`` disables the T<=0.01 early-out so cross-slab
+    composition stays EXACT (the gate needs upstream transmittance, which
+    another device owns).
+    """
     Nk, Na, Nb = mixed_s.shape
     # ``out_cols`` < out_res composites only a column stripe of the
     # intermediate (spatial sharding: geom must carry pre-sliced
@@ -210,6 +222,10 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     cols = out_cols or out_res
     bmin = _permute3(p.vol_min, axis)
     vox = _permute3(p.voxel_size, axis)
+    slab_mode = z_offset is not None
+    nk_g = nk_global if nk_global is not None else Nk
+    z_off = jnp.float32(0.0) if z_offset is None else \
+        jnp.asarray(z_offset, jnp.float32)
     # Planes cover the FULL box depth, index z in [0, Nk] (the box spans
     # [vol_min, vol_min + voxel*dims] = index [0, N]; samples in the outer
     # [N-1, N] margin clamp to the edge slice exactly like the shader).
@@ -225,7 +241,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         C, T = carry
         # Plane index along the sweep (flip for back-to-front eyes).
         mm = jnp.where(geom.flip, n_planes - 1 - m, m)
-        z = mm.astype(jnp.float32) / supersample  # fractional slice index
+        z = mm.astype(jnp.float32) / supersample  # local fractional index
         # Value sampling clamps to [0, Nk - 1.001] (shader clamp); the plane's
         # world position w_k keeps the UNclamped z.
         zq = jnp.clip(z, 0.0, Nk - 1.001)
@@ -233,7 +249,8 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         fz = zq - z0.astype(jnp.float32)
         z1 = jnp.minimum(z0 + 1, Nk - 1)
 
-        w_k = bmin[0] + z * vox[0]
+        z_glob = z + z_off
+        w_k = bmin[0] + z_glob * vox[0]
         off_a, sc_a, lam = _inplane_affine(geom, 0, bmin[1], vox[1], w_k)
         off_b, sc_b, _ = _inplane_affine(geom, 1, bmin[2], vox[2], w_k)
         Wa, mask_a = hat_matrix(off_a, sc_a, Na, out_res)
@@ -253,14 +270,21 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
         # Ray parameter of this crossing + activity mask.
         inplane = mask_a[:, None] * mask_b[None, :]
+        gate = (T > 0.01) if term_gate else jnp.bool_(True)
         if use_clip:
             t_k = lam * geom.vmag
             active = (inplane > 0.0) & (t_k >= tmin_map) & (t_k <= tmax_map) \
-                & (T > 0.01)
+                & gate
         else:
             # near/far both disabled: behind-eye planes have lam < 0, a
             # per-plane scalar test — skips the per-pixel t map entirely.
-            active = (inplane > 0.0) & (lam >= 0.0) & (T > 0.01)
+            active = (inplane > 0.0) & (lam >= 0.0) & gate
+        if slab_mode:
+            # Slab owns planes [0, Nk) plus the closing plane only when it
+            # holds the volume end (avoids double-compositing the plane
+            # shared with the next slab).
+            own = jnp.where(z < Nk - 1e-6, True, z_glob >= nk_g - 1e-6)
+            active = active & own
         act = active.astype(jnp.float32)
 
         val = jnp.clip((v - (p.wl - p.ww * 0.5)) / p.ww, 0.0, 1.0)

@@ -81,3 +81,68 @@ def build_sharded_renderer(mesh: Mesh, vol_dims, width: int, height: int,
         return fns[axis](mods, seg, pred, jnp.asarray(vec), p)
 
     return render
+
+
+def build_volume_sharded_renderer(mesh: Mesh, vol_dims, width: int,
+                                  height: int, axis: int,
+                                  out_res: Optional[int] = None,
+                                  has_seg: bool = False):
+    """Renderer for volumes larger than one chip's HBM: the volume is
+    sharded along the sweep axis over mesh axis 'space'; each device
+    composites the planes of ITS slab for every intermediate pixel, then the
+    slab results combine with the associative over-operator
+    ``(C, T) = (C_a + T_a * C_b, T_a * T_b)`` in sweep order across ICI.
+
+    Exactness: the T<=0.01 early-termination gate needs upstream
+    transmittance owned by another device, so slabs composite ungated; the
+    combined result equals a single-device ``term_gate=False`` composite to
+    float tolerance. ``axis`` is static per renderer: resharding the volume
+    follows the dominant axis only when the camera crosses an octant, so
+    callers hold one renderer per axis (or accept a reshard).
+
+    Returns jitted ``render(mixed_s, seg_s, basis_vec, p) -> image`` where
+    ``mixed_s``/(optional) ``seg_s`` are the PRE-PERMUTED (K, A, B) blended
+    volume (k = sweep axis), sharded ``P('space')`` on k.
+    """
+    out_res_ = out_res or max(width, height)
+    n_space = mesh.shape["space"]
+    Nk = {0: vol_dims[0], 1: vol_dims[1], 2: vol_dims[2]}[axis] \
+        if isinstance(vol_dims, (tuple, list)) else vol_dims
+    assert Nk % n_space == 0, "sweep depth must divide by the space axis"
+    slab_k = Nk // n_space
+
+    def body(mixed_slab, seg_slab, basis_vec, p):
+        basis = unpack_basis(basis_vec)
+        geom = sw.sweep_geometry(basis, p, (Nk,) + mixed_slab.shape[1:],
+                                 axis, out_res_)
+        d = jax.lax.axis_index("space")
+        z_off = (d * slab_k).astype(jnp.float32)
+        C, T = sw.sweep_composite(mixed_slab,
+                                  seg_slab if has_seg else None, None,
+                                  geom, p, axis, out_res_, 1,
+                                  z_offset=z_off, nk_global=Nk,
+                                  term_gate=False)
+        # Fold slabs in sweep order with the associative over-operator.
+        Cs = jax.lax.all_gather(C, "space")  # (n, O, O, 3)
+        Ts = jax.lax.all_gather(T, "space")  # (n, O, O)
+        Cs = jnp.where(geom.flip, jnp.flip(Cs, 0), Cs)
+        Ts = jnp.where(geom.flip, jnp.flip(Ts, 0), Ts)
+        C_acc, T_acc = Cs[0], Ts[0]
+        for i in range(1, n_space):
+            C_acc = C_acc + T_acc[..., None] * Cs[i]
+            T_acc = T_acc * Ts[i]
+        return sw.warp_to_screen(C_acc, geom, basis, axis, width, height,
+                                 p.bg_color)
+
+    zeros = jnp.zeros((1, 1, 1), jnp.int32)
+    sharded = shard_map(body, mesh=mesh,
+                        in_specs=(P("space"), P("space") if has_seg else P(),
+                                  P(), P()),
+                        out_specs=P(), check_vma=False)
+
+    @jax.jit
+    def render(mixed_s, seg_s, basis_vec, p):
+        return sharded(mixed_s, seg_s if has_seg else zeros,
+                       jnp.asarray(basis_vec), p)
+
+    return render

@@ -106,3 +106,46 @@ def test_sharded_render_matches_single_device(dataset):
     img_single = np.asarray(sw.render_brats(disp, seg_j, None, cam.basis(),
                                             p, 64, 64, out_res=64))
     np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
+
+
+def test_volume_sharded_render_matches_single_device(dataset):
+    """Volume sharded along the sweep axis over 'space': per-slab ungated
+    composites folded with the associative over-operator equal a
+    single-device ungated composite + warp."""
+    import jax
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera, unpack_basis
+
+    SHAPE = (16, 16, 12)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=4)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m) for m in mods]))
+    seg_j = jnp.asarray(seg.astype(np.int32))
+    p = rp.default_render_params(SHAPE, show_seg=True)
+
+    for theta in (0.5, 2.8):  # second angle flips the sweep direction
+        cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                            theta=theta, phi=1.1)
+        bv = jnp.asarray(cam.basis().pack())
+        axis = sw.dominant_axis(cam.basis())
+
+        from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
+        mixed = blend_modalities(disp, p.vol_enabled[:4], p.vol_weight[:4])
+        mixed_s = sw._perm_volume(mixed, axis)
+        seg_s = sw._perm_volume(seg_j, axis)
+
+        mesh = mesh_mod.make_mesh(data=1, space=4)
+        render = prender.build_volume_sharded_renderer(
+            mesh, mixed_s.shape, 64, 64, axis, out_res=64, has_seg=True)
+        img_sharded = np.asarray(render(mixed_s, seg_s, bv, p))
+
+        basis = unpack_basis(bv)
+        geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, 64)
+        C, T = sw.sweep_composite(mixed_s, seg_s, None, geom, p, axis, 64, 1,
+                                  term_gate=False)
+        img_single = np.asarray(sw.warp_to_screen(
+            C, geom, basis, axis, 64, 64, p.bg_color))
+        np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
