@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "prediction volume and overlays it (mode 1)")
     ap.add_argument("--neural-march", action="store_true",
                     help="evaluate the INR inside the march (mode 2)")
-    ap.add_argument("--backend", default="auto", choices=["auto", "sweep", "xla"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "sweep", "sweep_pallas", "xla"])
     ap.add_argument("--theta0", type=float, default=0.6)
     ap.add_argument("--phi0", type=float, default=1.2)
     ap.add_argument("--d-theta", type=float, default=None,
