@@ -34,28 +34,36 @@ def psnr(img: np.ndarray, ref: np.ndarray,
     return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
 
 
-def _fbm_volume(shape, seed, n_waves=8, sharp=False) -> np.ndarray:
-    """Smooth (clouds) or thresholded (structured) synthetic volume."""
+def _fbm_volume(shape, seed, n_waves=10, sharp=False) -> np.ndarray:
+    """Smooth (clouds) or thresholded (structured) synthetic volume.
+
+    Content occupies an off-center ellipsoid ~35% of the AABB so adaptive
+    samplers have real empty space to skip (like a brain in a BraTS box)."""
     rng = np.random.default_rng(seed)
     g = np.stack(np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                              indexing="ij"), -1).astype(np.float32)
     v = np.zeros(shape, np.float32)
     for i in range(n_waves):
-        k = rng.normal(0, 2.5 + i, 3).astype(np.float32)
+        k = rng.normal(0, 3.0 + i, 3).astype(np.float32)
         ph = rng.uniform(0, 2 * np.pi)
         v += np.cos((g * k).sum(-1) * np.pi + ph) / (i + 1)
     v = (v - v.min()) / max(v.max() - v.min(), 1e-6)
-    r2 = (g ** 2).sum(-1)
-    v *= (r2 < 0.81).astype(np.float32)
+    c = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+    r2 = (((g - c) / np.float32(0.62)) ** 2).sum(-1)
+    v *= (r2 < 1.0).astype(np.float32)
     if sharp:
-        v = np.where(v > 0.6, v, 0.1 * v).astype(np.float32)
+        v = np.where(v > 0.55, v, 0.05 * v).astype(np.float32)
     return v
 
 
-def build_scenes(shape=(96, 96, 80), include_medical=True) -> List[Dict]:
+def build_scenes(shape=(96, 96, 80), include_medical=True,
+                 alpha_scale: float = 2.0) -> List[Dict]:
     """Four benchmark scenes: two tumor cases (ROI maps from seg) and two
     non-medical volumes (clouds / sharp structures; the showcase-plan's
-    Bonsai/Clouds/Noise stand-ins, P = B = 0)."""
+    Bonsai/Clouds/Noise stand-ins, P = B = 0). ``alpha_scale`` raises the
+    extinction so transmittance actually saturates along dense chords
+    (discriminates step policies; near-transparent scenes make every
+    sampler look equal)."""
     from mri_raytracer_tpu.data import brats as brats_mod
     from mri_raytracer_tpu.data import synthetic
 
@@ -64,13 +72,14 @@ def build_scenes(shape=(96, 96, 80), include_medical=True) -> List[Dict]:
     def add(name, mixed, seg):
         feats = roi_policy.build_feature_volumes(mixed, seg)
         p = rp.default_render_params(mixed.shape, show_seg=False)
+        p = p._replace(intensity_alpha=p.intensity_alpha * alpha_scale)
         scenes.append({
             "name": name,
             "mixed": jnp.asarray(mixed),
+            "feat_rows": jnp.asarray(
+                roi_policy.pack_feature_rows(mixed, feats)),
             "P": jnp.asarray(feats["P"]),
             "B": jnp.asarray(feats["B"]),
-            "gradmag": jnp.asarray(feats["gradmag"]),
-            "graddir": jnp.asarray(feats["graddir"]),
             "params": p,
             "radius": rp.default_camera_radius(p, mixed.shape),
         })
@@ -87,8 +96,7 @@ def build_scenes(shape=(96, 96, 80), include_medical=True) -> List[Dict]:
 
 
 def scene_tuple(scene) -> Tuple:
-    return (scene["mixed"], scene["P"], scene["B"], scene["gradmag"],
-            scene["graddir"])
+    return (scene["mixed"], scene["feat_rows"])
 
 
 def make_views(radius: float, held_out: bool = False) -> List[np.ndarray]:
@@ -183,19 +191,28 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
 
 
 def evaluate_success(sweep: Dict, speedup_target: float = 1.8,
-                     max_loss_db: float = 0.5) -> Dict:
+                     max_loss_db: float = 0.5,
+                     quality_target_db: float = 40.0) -> Dict:
     """Apply the showcase-plan success rule to one scene's sweep.
 
-    Tuned baseline B1 = the cheapest baseline budget within 0.5 dB of the
-    best baseline PSNR ('tuned fixed-step'). The policy point = the fastest
-    policy config with wPSNR >= wPSNR(B1) - max_loss_db. Success when
-    ms(B1) / ms(policy point) >= speedup_target.
+    Tuned baseline B1 = the cheapest baseline budget reaching
+    ``quality_target_db`` PSNR vs the very-fine reference — 'tuned' means
+    the setting a user would actually ship (40 dB = visually transparent,
+    the same bar BASELINE.md sets for the production renderer), not the
+    most expensive point measured (quality vs a finer uniform reference
+    never saturates, so 'within-epsilon-of-best' would always pick the
+    largest budget). Falls back to the best point if none reach the target.
+    The policy point = the fastest policy config with wPSNR >=
+    wPSNR(B1) - max_loss_db. Success when ms(B1) / ms(policy point) >=
+    speedup_target.
     """
     base = sweep["baseline"]
     pol = sweep["policy"]
-    best = max(b["psnr"] for b in base)
-    tuned = min((b for b in base if b["psnr"] >= best - 0.5),
-                key=lambda b: b["ms"])
+    good = [b for b in base if b["psnr"] >= quality_target_db]
+    if good:
+        tuned = min(good, key=lambda b: b["ms"])
+    else:
+        tuned = max(base, key=lambda b: b["psnr"])
     bar = tuned["wpsnr"] - max_loss_db
     ok_pts = [q for q in pol if q["wpsnr"] >= bar]
     if not ok_pts:

@@ -128,6 +128,17 @@ def build_feature_volumes(mixed: np.ndarray, seg: Optional[np.ndarray],
     return {"P": P, "B": B, "gradmag": gradmag, "graddir": graddir}
 
 
+def pack_feature_rows(mixed: np.ndarray, feats: Dict[str, np.ndarray]) -> np.ndarray:
+    """(X, Y, Z, 8) channel-packed probe volume: [raw intensity, gradmag,
+    graddir_xyz, P, B, 0]. One multi-channel trilinear row-gather per coarse
+    probe replaces 7 scalar-volume gathers (the probes dominated policy
+    render time otherwise)."""
+    return np.stack([mixed, feats["gradmag"], feats["graddir"][0],
+                     feats["graddir"][1], feats["graddir"][2], feats["P"],
+                     feats["B"], np.zeros_like(mixed)], axis=-1) \
+        .astype(np.float32)
+
+
 def _ray_setup(basis: CameraBasis, p: BratsRenderParams, dims,
                width: int, height: int):
     ro, rd = camera_rays(basis, width, height)
@@ -180,8 +191,7 @@ def render_fixed(mixed: jnp.ndarray, basis_vec: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "n_coarse", "n_fine",
                                     "cfg", "roi_clamp"))
-def render_policy(policy, mixed: jnp.ndarray, P: jnp.ndarray, B: jnp.ndarray,
-                  gradmag: jnp.ndarray, graddir: jnp.ndarray,
+def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                   basis_vec: jnp.ndarray, p: BratsRenderParams,
                   width: int, height: int, n_coarse: int = 32,
                   n_fine: int = 64, cfg: PolicyConfig = PolicyConfig(),
@@ -189,31 +199,32 @@ def render_policy(policy, mixed: jnp.ndarray, P: jnp.ndarray, B: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Policy-guided adaptive render. Returns (image, stats).
 
-    stats: 'steps_per_ray' — effective useful samples per ray (fine samples
-    landing in unskipped segments + the coarse probes); 'mean_scale',
-    'mean_skip' — policy output summaries.
+    ``feat_rows``: (X, Y, Z, 8) packed probe volume from
+    ``pack_feature_rows``. stats: 'steps_per_ray' — effective useful samples
+    per ray (fine samples landing in unskipped segments + the coarse
+    probes); 'mean_scale', 'mean_skip' — policy output summaries.
     """
+    from mri_raytracer_tpu.ops.trilinear import trilinear_sample_rows
     from mri_raytracer_tpu.render.camera import unpack_basis
 
     basis = unpack_basis(basis_vec)
     dims = jnp.array(mixed.shape, jnp.float32)
     ro, rd, t0, t1, valid, bmin = _ray_setup(basis, p, dims, width, height)
 
-    # ---- coarse probe
+    # ---- coarse probe: ONE 8-channel row-gather per sample
     kk = jnp.arange(n_coarse + 1, dtype=jnp.float32) / n_coarse
     t_bins = t0[..., None] + kk * (t1 - t0)[..., None]  # (H, W, Nc+1)
     t_mid = 0.5 * (t_bins[..., :-1] + t_bins[..., 1:])
     pos_c = ro[..., None, :] + t_mid[..., None] * rd[..., None, :]
     pidx_c = (pos_c - bmin) / p.voxel_size
 
-    v_c = trilinear_sample_base(mixed, pidx_c)  # (H, W, Nc)
-    val_c = transfer_function(v_c, p.ww, p.wl, p.gamma)
-    g_c = trilinear_sample_base(gradmag, pidx_c)
-    gd = jnp.stack([trilinear_sample_base(graddir[i], pidx_c)
-                    for i in range(3)], axis=-1)
+    probe = trilinear_sample_rows(feat_rows, pidx_c)  # (H, W, Nc, 8)
+    val_c = transfer_function(probe[..., 0], p.ww, p.wl, p.gamma)
+    g_c = probe[..., 1]
+    gd = probe[..., 2:5]
     align = jnp.abs(jnp.sum(gd * rd[..., None, :], axis=-1))
-    P_c = trilinear_sample_base(P, pidx_c)
-    B_c = trilinear_sample_base(B, pidx_c)
+    P_c = probe[..., 5]
+    B_c = probe[..., 6]
     seg_dt = (t1 - t0)[..., None] / n_coarse
     # Coarse transmittance estimate entering each segment (exclusive).
     a_c = 1.0 - jnp.exp(-val_c * p.intensity_alpha * seg_dt)
@@ -289,11 +300,10 @@ def policy_loss(policy, scene, basis_vec, ref_img, p, width, height,
                 n_coarse, n_fine, cfg: PolicyConfig, alpha: float = 0.0,
                 w_img: Optional[jnp.ndarray] = None):
     """J = ROI-weighted image MSE + alpha * expected-steps cost
-    (Methodology:51)."""
-    mixed, P, B, gradmag, graddir = scene
-    img, stats = render_policy(policy, mixed, P, B, gradmag, graddir,
-                               basis_vec, p, width, height, n_coarse, n_fine,
-                               cfg)
+    (Methodology:51). ``scene`` = (mixed, feat_rows)."""
+    mixed, feat_rows = scene
+    img, stats = render_policy(policy, mixed, feat_rows, basis_vec, p, width,
+                               height, n_coarse, n_fine, cfg)
     err = jnp.square(img - ref_img).mean(-1)
     if w_img is not None:
         err = err * w_img / jnp.mean(w_img)

@@ -133,3 +133,41 @@ def trilinear_sample_multi(vols: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """vols (C,X,Y,Z), pts (...,3) -> (..., C)."""
     out = jax.vmap(lambda v: trilinear_sample_base(v, pts))(vols)
     return jnp.moveaxis(out, 0, -1)
+
+
+def trilinear_sample_rows(vol_rows: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Multi-channel trilinear gather: vol_rows (X, Y, Z, C), pts (..., 3)
+    -> (..., C).
+
+    One row-gather per corner instead of C scalar gathers per corner — on
+    TPU a wide-row take measures ~3x cheaper than scalar takes (and 8 reads
+    replace 8*C), which is what makes multi-feature field probes (the ROI
+    policy's 8-feature coarse pass) affordable.
+    """
+    X, Y, Z, C = vol_rows.shape
+    q, i0, f = _corner_setup((X, Y, Z), pts)
+    ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+    flat = vol_rows.reshape(-1, C)
+
+    def rows(ax, ay, az):
+        idx = (ax * Y + ay) * Z + az
+        return jnp.take(flat, idx, axis=0)
+
+    c000 = rows(ix, iy, iz)
+    c100 = rows(ix + 1, iy, iz)
+    c010 = rows(ix, iy + 1, iz)
+    c110 = rows(ix + 1, iy + 1, iz)
+    c001 = rows(ix, iy, iz + 1)
+    c101 = rows(ix + 1, iy, iz + 1)
+    c011 = rows(ix, iy + 1, iz + 1)
+    c111 = rows(ix + 1, iy + 1, iz + 1)
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz

@@ -25,9 +25,9 @@ def scene():
     # uniform-equivalence test).
     p = p._replace(intensity_alpha=jnp.float32(1.0))
     return {"mixed": jnp.asarray(mixed),
+            "feat_rows": jnp.asarray(roi_policy.pack_feature_rows(mixed,
+                                                                  feats)),
             "P": jnp.asarray(feats["P"]), "B": jnp.asarray(feats["B"]),
-            "gradmag": jnp.asarray(feats["gradmag"]),
-            "graddir": jnp.asarray(feats["graddir"]),
             "params": p,
             "radius": rp.default_camera_radius(p, mixed.shape)}
 
@@ -39,8 +39,7 @@ def _basis(scene, theta=0.5, phi=1.1):
 
 
 def _st(scene):
-    return (scene["mixed"], scene["P"], scene["B"], scene["gradmag"],
-            scene["graddir"])
+    return (scene["mixed"], scene["feat_rows"])
 
 
 def test_policy_output_ranges():
@@ -138,4 +137,8 @@ def test_feature_volumes(scene):
     assert float(scene["B"].max()) <= 1.0 + 1e-5
     # Boundary proximity peaks at the tumor boundary, P inside the tumor.
     assert float(scene["P"].max()) > 0.3
-    assert float(scene["gradmag"].min()) >= 0.0
+    rows = scene["feat_rows"]
+    assert rows.shape[-1] == roi_policy.N_FEATURES
+    assert float(rows[..., 1].min()) >= 0.0  # gradmag channel
+    np.testing.assert_allclose(np.asarray(rows[..., 5]),
+                               np.asarray(scene["P"]), atol=1e-6)
