@@ -1,0 +1,178 @@
+"""HTTP render service: the deployment-shaped front-end.
+
+The reference's interactive surface is a desktop window loop
+(``inr/viewer/brats_viewer.py:369-466``); a TPU host is typically remote,
+so this app serves the same renderer over HTTP instead: camera/transfer
+parameters arrive as query args, frames leave as PNG. The renderer keeps
+volumes + params device-resident (the request path transfers one packed
+camera vector, exactly like the interactive loop) and a lock serializes
+device access across server threads.
+
+Endpoints:
+  GET /info                          -> JSON (volume shape, backend, size)
+  GET /frame?theta=&phi=&radius=...  -> image/png
+      optional: ww, wl, alpha, seg=0|1, pred=0|1, gamma
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class RenderService:
+    """Holds the renderer + params; thread-safe frame production."""
+
+    def __init__(self, renderer, params, radius: float):
+        self.renderer = renderer
+        self.base_params = params
+        self.radius = float(radius)
+        self._lock = threading.Lock()
+
+    def info(self) -> dict:
+        import jax
+
+        return {"backend": jax.default_backend(),
+                "renderer": self.renderer.backend,
+                "width": self.renderer.width,
+                "height": self.renderer.height,
+                "has_seg": self.renderer.seg is not None,
+                "has_pred": self.renderer.pred is not None}
+
+    def frame_png(self, q: dict) -> bytes:
+        from PIL import Image
+
+        from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+        def f(name, default):
+            return float(q.get(name, [default])[0])
+
+        p = self.base_params
+        upd = {}
+        if "ww" in q:
+            upd["ww"] = np.float32(f("ww", 1.0))
+        if "wl" in q:
+            upd["wl"] = np.float32(f("wl", 0.5))
+        if "alpha" in q:
+            upd["intensity_alpha"] = np.float32(f("alpha", 40.0))
+        if "gamma" in q:
+            upd["gamma"] = np.float32(f("gamma", 1.0))
+        if "seg" in q:
+            upd["show_seg"] = np.float32(f("seg", 1.0))
+        if "pred" in q:
+            upd["show_pred"] = np.float32(f("pred", 0.0))
+        if upd:
+            p = p._replace(**upd)
+        cam = OrbitalCamera(radius=f("radius", self.radius),
+                            theta=f("theta", 0.6), phi=f("phi", 1.2))
+        with self._lock:
+            img = self.renderer.render_numpy(cam.basis(), p)
+        arr = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def make_server(service: RenderService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            try:
+                if parsed.path == "/info":
+                    body = json.dumps(service.info()).encode()
+                    ctype = "application/json"
+                elif parsed.path == "/frame":
+                    q = urllib.parse.parse_qs(parsed.query)
+                    body = service.frame_png(q)
+                    ctype = "image/png"
+                else:
+                    self.send_error(404)
+                    return
+            except Exception as e:  # surface render errors as 500s
+                self.send_error(500, str(e))
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[list] = None) -> int:
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--case-dir", default=None,
+                    help="BraTS case dir; synthetic volume when omitted")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--vol", type=int, default=128)
+    ap.add_argument("--port", type=int, default=8042)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--inr-checkpoint", default=None)
+    args = ap.parse_args(argv)
+
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.brats import BratsRenderer
+
+    if args.case_dir:
+        case = brats.load_case_dict(args.case_dir, normalization="none")
+        mods_raw, seg = case["mods"], case["seg"]
+    else:
+        mods_raw, seg = synthetic.synthetic_case((args.vol,) * 3, seed=0)
+    disp = np.stack([brats.percentile_normalize(m) for m in mods_raw])
+
+    pred = None
+    if args.inr_checkpoint:
+        from mri_raytracer_tpu.config import ModelConfig
+        from mri_raytracer_tpu.eval.inference import predict_volume
+        from mri_raytracer_tpu.io import checkpoint as ckpt
+        from mri_raytracer_tpu.models.api import build_model
+
+        params, cfg = ckpt.model_load(args.inr_checkpoint)
+        mc = ModelConfig()
+        if "FOURIER_FREQS" in cfg:
+            mc.fourier_freqs = cfg["FOURIER_FREQS"]
+            mc.num_classes = cfg.get("NUM_CLASSES", 4)
+            mc.hidden_dims = tuple(cfg.get("HIDDEN_DIMS", [64] * 4))
+        model = build_model(mc, num_modalities=disp.shape[0])
+        mods_z = np.stack([brats.zscore_nonzero(m.copy()) for m in mods_raw])
+        pred, _ = predict_volume(model, params, {"mods": mods_z, "seg": seg})
+        pred = pred.astype(np.int32)
+
+    shape = disp.shape[1:]
+    p = rp.default_render_params(shape, show_seg=True,
+                                 show_pred=pred is not None)
+    renderer = BratsRenderer(jnp.asarray(disp),
+                             jnp.asarray(np.asarray(seg, np.int32)),
+                             None if pred is None else jnp.asarray(pred),
+                             width=args.size, height=args.size)
+    renderer.warmup(p)
+    service = RenderService(renderer, p, rp.default_camera_radius(p, shape))
+    srv = make_server(service, args.host, args.port)
+    print(f"[serve] http://{args.host}:{srv.server_address[1]}/frame "
+          f"(backend {renderer.backend}, {shape})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -126,3 +126,48 @@ def test_interactive_notebook_wellformed():
     assert len(mods) >= 5
     for m in mods:
         importlib.import_module(m)
+
+
+def test_render_http_service():
+    """HTTP serving surface: /info JSON + /frame PNGs that respond to the
+    camera and transfer-function query args."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from mri_raytracer_tpu.apps.serve import RenderService, make_server
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.brats import BratsRenderer
+
+    mods, seg = synthetic.synthetic_case((24, 24, 20), seed=1)
+    disp = np.stack([brats.percentile_normalize(m) for m in mods])
+    p = rp.default_render_params(disp.shape[1:], show_seg=True)
+    r = BratsRenderer(jnp.asarray(disp), jnp.asarray(seg.astype(np.int32)),
+                      None, width=64, height=64, backend="sweep")
+    svc = RenderService(r, p, rp.default_camera_radius(p, disp.shape[1:]))
+    srv = make_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        info = json.loads(urllib.request.urlopen(f"{base}/info").read())
+        assert info["width"] == 64 and info["has_seg"]
+
+        def frame(q):
+            data = urllib.request.urlopen(f"{base}/frame?{q}").read()
+            return np.asarray(Image.open(io.BytesIO(data)))
+
+        a = frame("theta=0.3&phi=1.2")
+        b = frame("theta=2.1&phi=0.8")
+        assert a.shape == (64, 64, 3)
+        assert not np.array_equal(a, b)  # camera args change the frame
+        c = frame("theta=0.3&phi=1.2&ww=0.2&wl=0.9")
+        assert not np.array_equal(a, c)  # transfer args change the frame
+    finally:
+        srv.shutdown()
