@@ -23,7 +23,9 @@ def main(argv=None):
     ap.add_argument("--train-steps", type=int, default=150)
     ap.add_argument("--train-res", type=int, default=96)
     ap.add_argument("--frames", type=int, default=30)
-    ap.add_argument("--n-coarse", type=int, default=32)
+    ap.add_argument("--n-coarse", type=int, default=12)
+    ap.add_argument("--probe-stride", type=int, default=2)
+    ap.add_argument("--tuned-budget", type=int, default=64)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -72,11 +74,11 @@ def main(argv=None):
             sweep = roi_protocol.pareto_sweep(
                 pol, sc, vs, budgets, width=args.res, height=args.res,
                 ref_steps=args.ref_steps, n_frames=args.frames,
-                n_coarse=args.n_coarse)
+                n_coarse=args.n_coarse, probe_stride=args.probe_stride)
             tag = f"{sc['name']}{'-heldout' if held else ''}"
             results["scenes"][tag] = sweep
             if not held:
-                v = roi_protocol.evaluate_success(sweep)
+                v = roi_protocol.evaluate_success(sweep, tuned_budget=args.tuned_budget)
                 v["scene"] = sc["name"]
                 verdicts.append(v)
                 print(f"[roi] {tag}: speedup={v['speedup']:.2f}x "
