@@ -227,14 +227,27 @@ def evaluate_success(sweep: Dict, speedup_target: float = 1.8,
     pol = sweep["policy"]
     tuned = min(base, key=lambda b: abs(b["n"] - tuned_budget))
     bar = tuned["wpsnr"] - max_loss_db
+    # Showcase-plan secondary criteria: Pareto dominance (a policy point at
+    # most as slow and at least as good exists for each baseline point) and
+    # the equal-budget quality gain.
+    dominated = sum(
+        1 for b in base
+        if any(q["ms"] <= b["ms"] * 1.02 and q["wpsnr"] >= b["wpsnr"]
+               for q in pol))
+    gain = float(np.mean([q["wpsnr"] - b["wpsnr"]
+                          for b, q in zip(base, pol)]))
+    extra = {"pareto_dominated": dominated, "pareto_total": len(base),
+             "pareto_dominant": dominated >= max(1, len(base) - 1),
+             "equal_budget_gain_db": gain}
     ok_pts = [q for q in pol if q["wpsnr"] >= bar]
     if not ok_pts:
         return {"success": False, "speedup": 0.0, "tuned_n": tuned["n"],
-                "bar_db": bar, "policy_n": None}
+                "bar_db": bar, "policy_n": None, **extra}
     fast = min(ok_pts, key=lambda q: q["ms"])
     speedup = tuned["ms"] / fast["ms"]
     return {"success": speedup >= speedup_target, "speedup": speedup,
             "tuned_n": tuned["n"], "tuned_ms": tuned["ms"],
             "policy_n": fast["n"], "policy_ms": fast["ms"],
             "bar_db": bar, "policy_wpsnr": fast["wpsnr"],
-            "steps_baseline": tuned["steps"], "steps_policy": fast["steps"]}
+            "steps_baseline": tuned["steps"], "steps_policy": fast["steps"],
+            **extra}

@@ -101,17 +101,21 @@ def main(argv=None):
              f"reference = fixed-step n={args.ref_steps}; median over "
              f"{args.frames} frames/point.", "",
              "| scene | B1 (n, ms, wPSNR) | policy (n, ms, wPSNR) | "
-             "speedup | pass |", "|---|---|---|---|---|"]
+             "speedup | pass | Pareto | equal-budget gain |",
+             "|---|---|---|---|---|---|---|"]
     for v in verdicts:
+        pareto = (f"{v.get('pareto_dominated', 0)}/{v.get('pareto_total', 0)}"
+                  f"{' DOM' if v.get('pareto_dominant') else ''}")
+        gain = f"{v.get('equal_budget_gain_db', 0.0):+.1f} dB"
         if v.get("policy_n") is None:
             lines.append(f"| {v['scene']} | n={v['tuned_n']} | no point met "
-                         f"the bar | - | NO |")
+                         f"the bar | - | NO | {pareto} | {gain} |")
             continue
         lines.append(
             f"| {v['scene']} | n={v['tuned_n']}, {v['tuned_ms']:.1f} ms | "
             f"n={v['policy_n']}, {v['policy_ms']:.1f} ms, "
             f"{v['policy_wpsnr']:.1f} dB | {v['speedup']:.2f}x | "
-            f"{'YES' if v['success'] else 'no'} |")
+            f"{'YES' if v['success'] else 'no'} | {pareto} | {gain} |")
     lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
               f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar).",
               "", "Held-out view sweeps are in `roi_results.json` "
