@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mri_raytracer_tpu.ops.diffrender import composite_fronttoback
-from mri_raytracer_tpu.ops.importance import inverse_cdf_sample
+from mri_raytracer_tpu.ops.importance import inverse_cdf_sample_mm
 from mri_raytracer_tpu.ops.raymarch_xla import (aabb_hit, _safe_dir,
                                                 transfer_function)
 from mri_raytracer_tpu.ops.trilinear import trilinear_sample_base
@@ -299,7 +299,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
         rho_full = rho
     t_bins = t0[..., None] + kk * (t1 - t0)[..., None]
     u = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine
-    t_f = inverse_cdf_sample(t_bins, rho_full, u)  # (H, W, Nf) monotone in u
+    t_f = inverse_cdf_sample_mm(t_bins, rho_full, u)  # (H,W,Nf) monotone in u
     pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
     pidx_f = (pos_f - bmin) / p.voxel_size
     d = jnp.diff(t_f, axis=-1)
