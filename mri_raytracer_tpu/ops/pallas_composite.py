@@ -115,6 +115,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             off_b = pp_ref[m, 2]
             sc_b = pp_ref[m, 3]
             lam = pp_ref[m, 4]
+            own = pp_ref[m, 5]  # slab plane ownership (1.0 full volume)
 
             # a-axis hat weights + inside mask (built on the VPU while the
             # slab DMA completes). Position math on (O, 1); only the weight
@@ -133,7 +134,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                         preferred_element_type=jnp.float32)  # (O, tile_j)
 
             T = t_ref[:]
-            act = mask_a * mask_b * (T > 0.01).astype(jnp.float32)
+            act = mask_a * mask_b * own * (T > 0.01).astype(jnp.float32)
             if use_clip:
                 t_k = lam * vmag_ref[:]
                 act = act * ((t_k >= near) & (t_k <= far)).astype(jnp.float32)
@@ -193,13 +194,24 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                            pred_s: Optional[jnp.ndarray], geom: sw.SweepGeom,
                            p: BratsRenderParams, axis: int, out_res: int,
                            use_gamma: bool = True, use_clip: bool = True,
-                           interpret: bool = False,
+                           interpret: bool = False, z_offset=None,
+                           nk_global: Optional[int] = None,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in fused replacement for shearwarp.sweep_composite (ss=1)."""
+    """Drop-in fused replacement for shearwarp.sweep_composite (ss=1).
+
+    Slab mode (``z_offset``/``nk_global``, same contract as
+    ``shearwarp.sweep_composite``): ``mixed_s`` is a k-contiguous slab of an
+    ``nk_global``-deep volume starting at global slice ``z_offset`` —
+    used for empty-space cropping (planes outside the occupied k-range
+    contribute nothing when transfer(0) == 0) and for sharded volumes.
+    """
     Nk, Na, Nb = mixed_s.shape
     bmin = sw._permute3(p.vol_min, axis)
     vox = sw._permute3(p.voxel_size, axis)
     n_planes = Nk + 1
+    nk_g = nk_global if nk_global is not None else Nk
+    z_off = jnp.float32(0.0) if z_offset is None else \
+        jnp.asarray(z_offset, jnp.float32)
     has_seg = seg_s is not None
     has_pred = pred_s is not None
     # 2D tiling: i-tiles shrink the VMEM accumulators (C/T per program is
@@ -214,14 +226,19 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
     # ---------------- per-plane geometry in sweep order (XLA)
     m = jnp.arange(n_planes, dtype=jnp.float32)
-    z = jnp.where(geom.flip, (n_planes - 1) - m, m)
-    w_k = bmin[0] + z * vox[0]
+    z = jnp.where(geom.flip, (n_planes - 1) - m, m)  # local slice index
+    z_glob = z + z_off
+    w_k = bmin[0] + z_glob * vox[0]
     lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
     off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1]
     sc_a = lam * geom.da / vox[1]
     off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2]
     sc_b = lam * geom.db / vox[2]
-    pp = jnp.stack([off_a, sc_a, off_b, sc_b, lam, z], axis=-1)  # (K, 6)
+    # Channel 5: plane ownership — a slab owns its closing plane only when
+    # it holds the volume end (matches shearwarp slab semantics).
+    own = jnp.where(z < Nk - 1e-6, 1.0,
+                    jnp.where(z_glob >= nk_g - 1e-6, 1.0, 0.0))
+    pp = jnp.stack([off_a, sc_a, off_b, sc_b, lam, own], axis=-1)  # (K, 6)
 
     # ---------------- stage 1: b-axis halves, bf16 (XLA batched einsums).
     # Supersample == 1 => planes at integer slice indices: one take in sweep

@@ -560,19 +560,23 @@ def prepare_sweep_volumes(mods, seg, pred, p, axis, has_seg, has_pred):
 
 def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                           height, out_res, supersample, use_gamma, use_clip,
-                          use_pallas, composite):
+                          use_pallas, composite, z_offset=None,
+                          nk_global=None):
     basis = unpack_basis(basis_vec)
-    geom = sweep_geometry(basis, p, mixed_s.shape, axis, out_res)
+    nk = nk_global if nk_global is not None else mixed_s.shape[0]
+    geom = sweep_geometry(basis, p, (nk,) + mixed_s.shape[1:], axis, out_res)
     if composite == "pallas" and supersample == 1 and out_res % 128 == 0:
         from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
 
         C, T = sweep_composite_pallas(mixed_s, seg_s, pred_s, geom, p, axis,
-                                      out_res, use_gamma, use_clip)
+                                      out_res, use_gamma, use_clip,
+                                      z_offset=z_offset, nk_global=nk_global)
     else:
         # Per-plane scan with unroll: smaller live intermediates than the
         # slab-batched einsum variant (slab kept for reference/tests).
         C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
-                               supersample, use_gamma, use_clip)
+                               supersample, use_gamma, use_clip,
+                               z_offset=z_offset, nk_global=nk_global)
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
                           use_pallas=use_pallas)
 
@@ -581,29 +585,37 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                    static_argnames=("axis", "width", "height", "out_res",
                                     "supersample", "has_seg", "has_pred",
                                     "use_gamma", "use_clip", "use_pallas",
-                                    "composite"))
+                                    "composite", "nk_global"))
 def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                      height, out_res, supersample, has_seg, has_pred,
                      use_gamma=True, use_clip=True, use_pallas=False,
-                     composite="scan"):
+                     composite="scan", z_offset=None, nk_global=None):
     return _render_prepared_impl(mixed_s, seg_s if has_seg else None,
                                  pred_s if has_pred else None, basis_vec, p,
                                  axis, width, height, out_res, supersample,
-                                 use_gamma, use_clip, use_pallas, composite)
+                                 use_gamma, use_clip, use_pallas, composite,
+                                 z_offset, nk_global)
 
 
 def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                     out_res, supersample=1, use_gamma=True, use_clip=True,
-                    composite="scan"):
-    """Per-frame renderer over cached prepared volumes (the interactive path)."""
+                    composite="scan", z_offset=None, nk_global=None):
+    """Per-frame renderer over cached prepared volumes (the interactive path).
+
+    ``z_offset``/``nk_global``: slab contract (empty-space k-crop or sharded
+    volumes) — the prepared volumes hold slices
+    [z_offset, z_offset + K) of an ``nk_global``-deep volume.
+    """
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
+    z_off = None if z_offset is None else jnp.asarray(z_offset, jnp.float32)
     return _render_prepared(mixed_s, seg_s if seg_s is not None else zeros,
                             pred_s if pred_s is not None else zeros,
                             basis.pack() if isinstance(basis, CameraBasis) else basis,
                             p, axis, width, height, out_res, supersample,
                             seg_s is not None, pred_s is not None,
-                            use_gamma, use_clip, use_pallas, composite)
+                            use_gamma, use_clip, use_pallas, composite,
+                            z_off, nk_global)
 
 
 @functools.partial(jax.jit,

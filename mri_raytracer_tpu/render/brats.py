@@ -55,6 +55,22 @@ class BratsRenderer:
         self.mods = jnp.asarray(mods, jnp.float32)
         self.seg = None if seg is None else jnp.asarray(seg, jnp.int32)
         self.pred = None if pred is None else jnp.asarray(pred, jnp.int32)
+        # Host-side occupancy bounding box (any modality or label nonzero):
+        # the sweep skips planes outside it when the transfer function maps
+        # empty space to zero (empty-space skipping, exact by construction).
+        occ = np.array(jnp.any(self.mods != 0.0, axis=0))
+        if self.seg is not None:
+            occ |= np.asarray(self.seg) != 0
+        if self.pred is not None:
+            occ |= np.asarray(self.pred) != 0
+        self._bbox = []
+        for ax in range(3):
+            proj = np.any(occ, axis=tuple(a for a in range(3) if a != ax))
+            nz = np.nonzero(proj)[0]
+            if len(nz):
+                self._bbox.append((int(nz[0]), int(nz[-1]) + 1))
+            else:
+                self._bbox.append((0, occ.shape[ax]))
         self.width = int(width)
         self.height = int(height)
         self.max_steps = int(max_steps)
@@ -93,7 +109,19 @@ class BratsRenderer:
                 # Blended+permuted volumes are camera-independent: cache per
                 # (axis, blend weights); invalidated by set_prediction.
                 axis = shearwarp.dominant_axis(basis)
-                blend_key = (axis,
+                # Empty-space k-crop: exact whenever transfer(0) == 0
+                # (wl >= ww/2), i.e. empty voxels emit nothing. Slab bounds
+                # pad to 32 so orbit camera changes never force recompiles.
+                nk = int(self.mods.shape[1 + axis])
+                crop_ok = (float(np.asarray(params.wl))
+                           >= 0.5 * float(np.asarray(params.ww)))
+                if crop_ok:
+                    lo, hi = self._bbox[axis]
+                    k_lo = (lo // 32) * 32
+                    k_hi = min(nk, -(-hi // 32) * 32)
+                else:
+                    k_lo, k_hi = 0, nk
+                blend_key = (axis, k_lo, k_hi,
                              np.asarray(params.vol_enabled).tobytes(),
                              np.asarray(params.vol_weight).tobytes())
                 prep = self._prep_cache.get(blend_key)
@@ -103,14 +131,22 @@ class BratsRenderer:
                         mods, seg if seg is not None else zeros,
                         pred if pred is not None else zeros, p_dev, axis,
                         seg is not None, pred is not None)
+                    if (k_lo, k_hi) != (0, nk):
+                        prep = tuple(
+                            None if v is None
+                            else jax.lax.slice_in_dim(v, k_lo, k_hi, axis=0)
+                            for v in prep)
                     self._prep_cache[blend_key] = prep
                 mixed_s, seg_s, pred_s = prep
                 out_res = self.sweep_res or max(self.width, self.height)
+                slab = (k_lo, k_hi) != (0, nk)
                 return shearwarp.render_prepared(
                     mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
                     self.height, out_res, supersample=self.supersample,
                     use_gamma=use_gamma, use_clip=use_clip,
-                    composite=composite)
+                    composite=composite,
+                    z_offset=k_lo if slab else None,
+                    nk_global=nk if slab else None)
         else:
             fn = raymarch_xla.render_brats
 

@@ -61,3 +61,29 @@ def test_fused_composite_pred_overlay(scene):
                                     use_gamma=False, use_clip=False,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(C1), np.asarray(C2), atol=3e-3)
+
+
+def test_fused_composite_slab_mode(scene):
+    """Slab (z_offset/nk_global) pallas composite == scan slab composite."""
+    disp, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.7, phi=1.1)
+    b = cam.basis()
+    axis = sw.dominant_axis(b)
+    mixed = sw.blend_modalities(disp, p.vol_enabled, p.vol_weight)
+    ms = sw._perm_volume(mixed, axis)
+    ss = sw._perm_volume(seg, axis)
+    O = 128
+    nk = ms.shape[0]
+    geom = sw.sweep_geometry(b, p, ms.shape, axis, O)
+    lo, hi = 4, nk - 4
+    C1, T1 = sw.sweep_composite(ms[lo:hi], ss[lo:hi], None, geom, p, axis, O,
+                                1, use_gamma=False, use_clip=False,
+                                z_offset=float(lo), nk_global=nk)
+    C2, T2 = sweep_composite_pallas(ms[lo:hi], ss[lo:hi], None, geom, p,
+                                    axis, O, use_gamma=False, use_clip=False,
+                                    interpret=True, z_offset=float(lo),
+                                    nk_global=nk)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=2e-3)

@@ -128,3 +128,38 @@ def test_renderer_front_end_backends(scene):
         img = r.render_numpy(cam.basis(), p)
         assert img.shape == (48, 48, 3)
         assert np.isfinite(img).all()
+
+
+def test_empty_space_crop_exact():
+    """k-cropped slab render == full render when empty voxels emit nothing
+    (transfer(0) == 0): the renderer's empty-space skipping is exact."""
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.data import brats as brats_mod
+    from mri_raytracer_tpu.data import synthetic
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.brats import BratsRenderer
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    # Volume with large empty margins along every axis.
+    mods, seg = synthetic.synthetic_case((24, 24, 20), seed=5)
+    disp = np.stack([brats_mod.percentile_normalize(m) for m in mods])
+    big = np.zeros((4, 72, 72, 64), np.float32)
+    big[:, 24:48, 24:48, 22:42] = disp
+    seg_big = np.zeros((72, 72, 64), np.int32)
+    seg_big[24:48, 24:48, 22:42] = seg
+
+    p = rp.default_render_params(big.shape[1:], show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, big.shape[1:]),
+                        theta=0.7, phi=1.0)
+    r = BratsRenderer(jnp.asarray(big), jnp.asarray(seg_big), None,
+                      width=64, height=64, backend="sweep")
+    lo, hi = r._bbox[0]
+    assert lo >= 24 and hi <= 48  # bbox found the occupied region
+    img_crop = np.asarray(r.render(cam.basis(), p))
+
+    # Force no crop by monkeypatching the bbox to the full volume.
+    r2 = BratsRenderer(jnp.asarray(big), jnp.asarray(seg_big), None,
+                       width=64, height=64, backend="sweep")
+    r2._bbox = [(0, 72), (0, 72), (0, 64)]
+    img_full = np.asarray(r2.render(cam.basis(), p))
+    np.testing.assert_allclose(img_crop, img_full, atol=1e-5)
