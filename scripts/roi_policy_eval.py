@@ -20,11 +20,11 @@ def main(argv=None):
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--ref-steps", type=int, default=512)
     ap.add_argument("--budgets", default="16,24,32,48,64,96,128")
-    ap.add_argument("--train-steps", type=int, default=150)
+    ap.add_argument("--train-steps", type=int, default=800)
     ap.add_argument("--train-res", type=int, default=96)
     ap.add_argument("--frames", type=int, default=30)
-    ap.add_argument("--n-coarse", type=int, default=12)
-    ap.add_argument("--probe-stride", type=int, default=2)
+    ap.add_argument("--n-coarse", type=int, default=48)
+    ap.add_argument("--probe-stride", type=int, default=3)
     ap.add_argument("--tuned-budget", type=int, default=64)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
