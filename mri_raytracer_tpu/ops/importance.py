@@ -41,7 +41,10 @@ def inverse_cdf_sample(t_bins: jnp.ndarray, weights: jnp.ndarray,
     c1 = jnp.take_along_axis(cdf, idx + 1, axis=-1)
     t0 = jnp.take_along_axis(t_bins, idx, axis=-1)
     t1 = jnp.take_along_axis(t_bins, idx + 1, axis=-1)
-    frac = (u - c0) / jnp.maximum(c1 - c0, eps)
+    # Clip the in-bin fraction: bins with ~zero mass have c1 - c0 ~ 0 and an
+    # unclipped (u - c0)/eps shoots the sample far past the bin, breaking
+    # monotonicity of t (negative dt downstream -> exploding alpha).
+    frac = jnp.clip((u - c0) / jnp.maximum(c1 - c0, eps), 0.0, 1.0)
     return t0 + frac * (t1 - t0)
 
 
@@ -71,7 +74,9 @@ def inverse_cdf_sample_mm(t_bins: jnp.ndarray, weights: jnp.ndarray,
                       t_bins[..., :-1], t_bins[..., 1:]], axis=-1)  # (...K,4)
     g = jnp.einsum("...jk,...kv->...jv", onehot, vals)
     c0, c1, t0, t1 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
-    frac = (u - c0) / jnp.maximum(c1 - c0, eps)
+    # See inverse_cdf_sample: clip so degenerate zero-mass bins cannot break
+    # the monotonicity of the returned sample positions.
+    frac = jnp.clip((u - c0) / jnp.maximum(c1 - c0, eps), 0.0, 1.0)
     return t0 + frac * (t1 - t0)
 
 

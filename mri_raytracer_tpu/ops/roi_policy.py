@@ -305,6 +305,9 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     d = jnp.diff(t_f, axis=-1)
     dt_f = jnp.concatenate([d[..., :1], 0.5 * (d[..., :-1] + d[..., 1:]),
                             d[..., -1:]], axis=-1)
+    # Belt-and-braces: a negative spacing (numerically non-monotone t_f)
+    # would turn alpha into 1 - exp(+x) and explode the composite.
+    dt_f = jnp.maximum(dt_f, 0.0)
     C, T = _march_composite(mixed, pidx_f, dt_f, p, valid)
 
     # ---- stats: useful samples = fine samples in live segments.
