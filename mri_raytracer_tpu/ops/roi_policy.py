@@ -413,3 +413,28 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
                                          sc[0], sc[1], sp)
         losses.append(float(loss))
     return policy, losses
+
+
+# --------------------------------------------------------------- persistence
+def save_policy(path, policy, cfg: PolicyConfig = PolicyConfig(),
+                meta: Optional[Dict] = None) -> None:
+    """Export the policy as FP16 weights + JSON meta (Methodology:54: 'Export:
+    row-major FP16 weights/biases, dims, activation flags to JSON')."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **{k: np.asarray(v, np.float16)
+                      for k, v in policy.items()})
+    side = {"dims": [N_FEATURES, cfg.hidden, 2], "activation": "relu",
+            "outputs": ["dt_scale_sigmoid", "skip_sigmoid"],
+            "scale_range": [cfg.scale_min, cfg.scale_max],
+            "layout": "row_major", "dtype": "float16", **(meta or {})}
+    path.with_name(f"{path.stem}_meta.json").write_text(
+        json.dumps(side, indent=2))
+
+
+def load_policy(path) -> Dict[str, jnp.ndarray]:
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k], jnp.float32) for k in z.files}

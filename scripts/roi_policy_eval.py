@@ -63,7 +63,14 @@ def main(argv=None):
         jax.random.PRNGKey(0), roi_protocol.scene_tuple(tr), views, refs, p,
         R, R, steps=args.train_steps, n_coarse=args.n_coarse,
         n_fine=budgets[len(budgets) // 2], weights=weights)
-    print(f"[roi] policy trained: loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+    print(f"[roi] policy trained: loss {losses[0]:.2e} -> {losses[-1]:.2e}")
+    out_dir = _pl.Path(args.out or
+                       _pl.Path(__file__).resolve().parents[1] / "docs")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    roi_policy.save_policy(out_dir / "roi_policy.npz", pol,
+                           meta={"train_steps": args.train_steps,
+                                 "n_coarse": args.n_coarse,
+                                 "probe_stride": args.probe_stride})
 
     # ---- sweep every scene, train and held-out views
     results = {"losses_first_last": [losses[0], losses[-1]], "scenes": {}}
@@ -91,9 +98,7 @@ def main(argv=None):
     print(f"[roi] OVERALL: {n_ok}/4 scenes pass the 1.8x bar -> "
           f"{'SUCCESS' if n_ok >= 3 else 'FAIL'}")
 
-    out = _pl.Path(args.out or
-                   _pl.Path(__file__).resolve().parents[1] / "docs")
-    out.mkdir(parents=True, exist_ok=True)
+    out = out_dir
     (out / "roi_results.json").write_text(json.dumps(results, indent=1))
 
     lines = ["# ROI policy renderer — protocol results", "",

@@ -142,3 +142,21 @@ def test_feature_volumes(scene):
     assert float(rows[..., 1].min()) >= 0.0  # gradmag channel
     np.testing.assert_allclose(np.asarray(rows[..., 5]),
                                np.asarray(scene["P"]), atol=1e-6)
+
+
+def test_policy_save_load_fp16(tmp_path):
+    pol = roi_policy.init_policy(jax.random.PRNGKey(1))
+    roi_policy.save_policy(tmp_path / "pol.npz", pol, meta={"x": 1})
+    back = roi_policy.load_policy(tmp_path / "pol.npz")
+    import json
+    meta = json.loads((tmp_path / "pol_meta.json").read_text())
+    assert meta["dims"] == [8, roi_policy.PolicyConfig().hidden, 2]
+    # fp16 round trip within half precision
+    for k in pol:
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(pol[k]),
+                                   atol=1e-2)
+    # outputs survive the export (the reference's parity-test requirement)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (32, 8))
+    s0, k0 = roi_policy.apply_policy(pol, feats, roi_policy.PolicyConfig())
+    s1, k1 = roi_policy.apply_policy(back, feats, roi_policy.PolicyConfig())
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-2)
