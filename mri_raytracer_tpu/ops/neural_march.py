@@ -18,6 +18,7 @@ prediction field is locally constant.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -28,6 +29,66 @@ from mri_raytracer_tpu.ops import shearwarp as sw
 from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
 from mri_raytracer_tpu.render.camera import CameraBasis, unpack_basis
 from mri_raytracer_tpu.render.params import BratsRenderParams
+
+
+def _separable_first_layer(layers, K: int, M: int, pos_an, pos_bn, z_n,
+                           inv_order, out_res: int):
+    """First MLP layer over a sweep plane as rank-1 broadcasts.
+
+    Per plane, each normalized coordinate is constant along one in-plane
+    axis (k: constant, a: rows, b: columns) and the deterministic Fourier
+    features are per-axis blocks of the input — so
+    ``[coords | ff] @ W1`` decomposes into a row vector + a column vector +
+    a constant, each computed on O values instead of O^2 samples. This
+    removes ~36 transcendentals and an (in_dim x H) matmul PER SAMPLE
+    (70 GFLOP-equivalent + 9G sin/cos per 1024^2 x 257-plane frame — the
+    round-1 mode-2 renderer spent ~0.7 s/frame here). Returns
+    (row (O,H), col (O,H), const (H,), W1_int (M,H)).
+    """
+    W1 = layers[0]["W"]
+    b1 = layers[0]["b"]
+    H = W1.shape[1]
+
+    def axis_feat(t):  # (L,) normalized coord -> (L, 1+2K)
+        if K == 0:
+            return t[:, None]
+        freqs = jnp.arange(1, K + 1, dtype=t.dtype) * math.pi
+        ang = t[:, None] * freqs[None]
+        return jnp.concatenate([t[:, None], jnp.sin(ang), jnp.cos(ang)], -1)
+
+    def axis_slice(c):  # W1 rows for coordinate c + its ff block
+        rows = [W1[c:c + 1]]
+        if K > 0:
+            rows.append(W1[3 + c * 2 * K: 3 + (c + 1) * 2 * K])
+        return jnp.concatenate(rows, 0)  # (1+2K, H)
+
+    row = jnp.zeros((out_res, H), W1.dtype)
+    col = jnp.zeros((out_res, H), W1.dtype)
+    const = b1
+    for c in range(3):
+        src = inv_order[c]
+        contrib_src = {0: z_n[None], 1: pos_an, 2: pos_bn}[src]
+        g = axis_feat(contrib_src) @ axis_slice(c)
+        if src == 0:
+            const = const + g[0]
+        elif src == 1:
+            row = row + g
+        else:
+            col = col + g
+    W1_int = W1[3 + (3 * 2 * K if K > 0 else 0):]  # (M, H)
+    assert W1_int.shape[0] == M, (W1_int.shape, M)
+    return row, col, const, W1_int
+
+
+def _mlp_tail(layers, h):
+    """Hidden layers 2..n + head, bf16 matmuls with f32 accumulation."""
+    for layer in layers[1:-1]:
+        h = jax.nn.relu(
+            jnp.dot(h.astype(jnp.bfloat16), layer["W"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + layer["b"])
+    last = layers[-1]
+    return jnp.dot(h.astype(jnp.bfloat16), last["W"].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + last["b"]
 
 
 @functools.partial(jax.jit, static_argnames=("model", "axis", "width",
@@ -60,6 +121,14 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     show_seg = jnp.where(p.show_seg > 0, 1.0, 0.0)
 
     ii = jnp.arange(out_res, dtype=jnp.float32)
+    # Separable fast path: plain MLP with deterministic Fourier features
+    # (the reference's default architecture). Other models use the generic
+    # per-sample apply.
+    separable = (model.cfg.kind == "mlp" and not model.cfg.aniso_features
+                 and model.cfg.rff_dim == 0 and model.cfg.use_modalities)
+    K = model.cfg.fourier_freqs
+    dims_xyz_s = jnp.stack([dims_perm[inv_order[0]], dims_perm[inv_order[1]],
+                            dims_perm[inv_order[2]]])
 
     def body(carry, m):
         C, T = carry
@@ -107,17 +176,29 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
         intens = jnp.stack([resample(modsz_s[mi]) for mi in range(M)], -1)
         pos_a = off_a + ii * sc_a  # (O,) permuted index coords
         pos_b = off_b + ii * sc_b
-        idx_k = jnp.broadcast_to(z, (out_res, out_res))
-        idx_a = jnp.broadcast_to(pos_a[:, None], (out_res, out_res))
-        idx_b = jnp.broadcast_to(pos_b[None, :], (out_res, out_res))
-        perm_idx = (idx_k, idx_a, idx_b)
-        xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
-                         perm_idx[inv_order[2]]], axis=-1)
-        dims_xyz = jnp.stack([dims_perm[inv_order[0]], dims_perm[inv_order[1]],
-                              dims_perm[inv_order[2]]])
-        coords = (xyz / (dims_xyz - 1.0)) * 2.0 - 1.0
-        logits = model.apply(params, coords.reshape(-1, 3),
-                             intens.reshape(-1, M))
+        if separable:
+            # Normalized per-axis coordinates; the (k, a, b) sources map to
+            # (const, row, col) contributions of the first layer.
+            norm = lambda t, d: (t / (d - 1.0)) * 2.0 - 1.0
+            dk, da_, db_ = dims_perm[0], dims_perm[1], dims_perm[2]
+            row, col, const, W1_int = _separable_first_layer(
+                params, K, M, norm(pos_a, da_), norm(pos_b, db_),
+                norm(z, dk), inv_order, out_res)
+            h = jax.nn.relu(row[:, None, :] + col[None, :, :] + const
+                            + jnp.dot(intens.astype(jnp.bfloat16),
+                                      W1_int.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32))
+            logits = _mlp_tail(params, h.reshape(-1, h.shape[-1]))
+        else:
+            idx_k = jnp.broadcast_to(z, (out_res, out_res))
+            idx_a = jnp.broadcast_to(pos_a[:, None], (out_res, out_res))
+            idx_b = jnp.broadcast_to(pos_b[None, :], (out_res, out_res))
+            perm_idx = (idx_k, idx_a, idx_b)
+            xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
+                             perm_idx[inv_order[2]]], axis=-1)
+            coords = (xyz / (dims_xyz_s - 1.0)) * 2.0 - 1.0
+            logits = model.apply(params, coords.reshape(-1, 3),
+                                 intens.reshape(-1, M))
         pred = jnp.argmax(logits, -1).reshape(out_res, out_res)
         rgba = sw._lut_rgba(pred.astype(jnp.float32), p.lut)
         aP = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * show_pred

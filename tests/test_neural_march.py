@@ -75,3 +75,38 @@ def test_neural_march_with_trained_like_model(scene):
     # Toggling show_pred must change the rendered content (the round-1 test
     # only compared shapes — vacuous).
     assert float(np.abs(img_on - img_off).max()) > 1e-3
+
+
+def test_separable_first_layer_matches_dense():
+    """The rank-1 decomposition of [coords|ff] @ W1 equals the dense
+    build_input path on a full plane grid."""
+    from mri_raytracer_tpu.models import features
+    from mri_raytracer_tpu.models.mlp import init_mlp
+    from mri_raytracer_tpu.ops.neural_march import _separable_first_layer
+
+    K, M, O = 4, 4, 9
+    rng = np.random.default_rng(0)
+    in_dim = 3 + 3 * 2 * K + M
+    _, layers = init_mlp(jax.random.PRNGKey(0), in_dim, (16,), 4)
+
+    pos_an = jnp.asarray(rng.uniform(-1, 1, O).astype(np.float32))
+    pos_bn = jnp.asarray(rng.uniform(-1, 1, O).astype(np.float32))
+    z_n = jnp.float32(0.37)
+    intens = jnp.asarray(rng.normal(0, 1, (O, O, M)).astype(np.float32))
+
+    for inv_order in ((0, 1, 2), (1, 0, 2), (1, 2, 0)):
+        row, col, const, W1_int = _separable_first_layer(
+            layers, K, M, pos_an, pos_bn, z_n, inv_order, O)
+        h_fast = (row[:, None, :] + col[None, :, :] + const
+                  + intens @ W1_int)
+
+        # dense reference
+        perm = (jnp.broadcast_to(z_n, (O, O)),
+                jnp.broadcast_to(pos_an[:, None], (O, O)),
+                jnp.broadcast_to(pos_bn[None, :], (O, O)))
+        xyz = jnp.stack([perm[inv_order[0]], perm[inv_order[1]],
+                         perm[inv_order[2]]], -1).reshape(-1, 3)
+        x = features.build_input(xyz, intens.reshape(-1, M), K)
+        h_ref = (x @ layers[0]["W"] + layers[0]["b"]).reshape(O, O, 16)
+        np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-4)
