@@ -92,10 +92,12 @@ def _mlp_tail(layers, h):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "axis", "width",
-                                             "height", "out_res", "has_seg"))
+                                             "height", "out_res", "has_seg",
+                                             "pred_stride"))
 def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
                         model: ModelBundle, axis: int, width: int,
-                        height: int, out_res: int, has_seg: bool):
+                        height: int, out_res: int, has_seg: bool,
+                        pred_stride: int = 1):
     basis = unpack_basis(basis_vec)
     M = mods_disp.shape[0]
     mixed = blend_modalities(mods_disp, p.vol_enabled[:M], p.vol_weight[:M])
@@ -145,13 +147,30 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
         Wa, mask_a = sw.hat_matrix(off_a, sc_a, Na, out_res)
         Wb, mask_b = sw.hat_matrix(off_b, sc_b, Nb, out_res)
 
-        def resample(vol_s):
+        def _resample_with(vol_s, Wa_, Wb_):
             sl = ((1.0 - fz) * jax.lax.dynamic_index_in_dim(vol_s, z0, 0, False)
                   + fz * jax.lax.dynamic_index_in_dim(vol_s, z1, 0, False))
-            t1_ = jnp.dot(Wa.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+            t1_ = jnp.dot(Wa_.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-            return jnp.dot(t1_.astype(jnp.bfloat16), Wb.T.astype(jnp.bfloat16),
+            return jnp.dot(t1_.astype(jnp.bfloat16), Wb_.T.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
+
+        def resample(vol_s):
+            return _resample_with(vol_s, Wa, Wb)
+
+        if pred_stride > 1:
+            # Stride-S grid: pos(iS) = off + i * (S * sc).
+            Wa_p, _ = sw.hat_matrix(off_a, sc_a * pred_stride, Na,
+                                    out_res // pred_stride)
+            Wb_p, _ = sw.hat_matrix(off_b, sc_b * pred_stride, Nb,
+                                    out_res // pred_stride)
+        else:
+            Wa_p, Wb_p = None, None
+
+        def resample_p(vol_s):
+            if pred_stride == 1:
+                return resample(vol_s)
+            return _resample_with(vol_s, Wa_p, Wb_p)
 
         v = resample(mixed_s)
         inplane = mask_a[:, None] * mask_b[None, :]
@@ -172,10 +191,17 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
             aS = (1.0 - jnp.exp(-rgba[..., 3] * dt)) * act * show_seg
             C, T = sw._composite(C, T, rgba[..., :3], aS)
 
-        # --- fused INR evaluation at the crossing positions (mode 2)
-        intens = jnp.stack([resample(modsz_s[mi]) for mi in range(M)], -1)
-        pos_a = off_a + ii * sc_a  # (O,) permuted index coords
-        pos_b = off_b + ii * sc_b
+        # --- fused INR evaluation at the crossing positions (mode 2).
+        # The prediction feeds a NEAREST-sampled LUT overlay, so it may be
+        # evaluated on a stride-S in-plane grid and replicated (pred_stride
+        # > 1): quarters the per-plane MLP work at S=2 while the intensity
+        # compositing stays full-resolution.
+        S = pred_stride
+        Op = out_res // S
+        iis = ii[::S]
+        intens = jnp.stack([resample_p(modsz_s[mi]) for mi in range(M)], -1)
+        pos_a = off_a + iis * sc_a  # (Op,) permuted index coords
+        pos_b = off_b + iis * sc_b
         if separable:
             # Normalized per-axis coordinates; the (k, a, b) sources map to
             # (const, row, col) contributions of the first layer.
@@ -183,23 +209,26 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
             dk, da_, db_ = dims_perm[0], dims_perm[1], dims_perm[2]
             row, col, const, W1_int = _separable_first_layer(
                 params, K, M, norm(pos_a, da_), norm(pos_b, db_),
-                norm(z, dk), inv_order, out_res)
+                norm(z, dk), inv_order, Op)
             h = jax.nn.relu(row[:, None, :] + col[None, :, :] + const
                             + jnp.dot(intens.astype(jnp.bfloat16),
                                       W1_int.astype(jnp.bfloat16),
-                                      preferred_element_type=jnp.float32))
+                                      preferred_element_type=jnp.float32)
+                            ).astype(jnp.bfloat16)
             logits = _mlp_tail(params, h.reshape(-1, h.shape[-1]))
         else:
-            idx_k = jnp.broadcast_to(z, (out_res, out_res))
-            idx_a = jnp.broadcast_to(pos_a[:, None], (out_res, out_res))
-            idx_b = jnp.broadcast_to(pos_b[None, :], (out_res, out_res))
+            idx_k = jnp.broadcast_to(z, (Op, Op))
+            idx_a = jnp.broadcast_to(pos_a[:, None], (Op, Op))
+            idx_b = jnp.broadcast_to(pos_b[None, :], (Op, Op))
             perm_idx = (idx_k, idx_a, idx_b)
             xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
                              perm_idx[inv_order[2]]], axis=-1)
             coords = (xyz / (dims_xyz_s - 1.0)) * 2.0 - 1.0
             logits = model.apply(params, coords.reshape(-1, 3),
                                  intens.reshape(-1, M))
-        pred = jnp.argmax(logits, -1).reshape(out_res, out_res)
+        pred = jnp.argmax(logits, -1).reshape(Op, Op)
+        if S > 1:
+            pred = jnp.repeat(jnp.repeat(pred, S, axis=0), S, axis=1)
         rgba = sw._lut_rgba(pred.astype(jnp.float32), p.lut)
         aP = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * show_pred
         C, T = sw._composite(C, T, rgba[..., :3], aP)
@@ -215,12 +244,15 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
                         seg: Optional[jnp.ndarray], model: ModelBundle,
                         params, basis: CameraBasis, p: BratsRenderParams,
                         width: int = 512, height: int = 512,
-                        out_res: Optional[int] = None) -> jnp.ndarray:
+                        out_res: Optional[int] = None,
+                        pred_stride: int = 1) -> jnp.ndarray:
     """Mode-2 render: intensity + GT seg + LIVE INR prediction overlay.
 
     mods_disp: display-normalized volumes (percentile) for the emission;
     mods_zscore: z-scored volumes matching the INR's training normalization
-    (the dual-normalization contract, SURVEY §7.3).
+    (the dual-normalization contract, SURVEY §7.3). ``pred_stride``: evaluate
+    the INR on a strided in-plane grid (the overlay is nearest-sampled;
+    stride 2 quarters the MLP cost).
     """
     out_res = out_res or max(width, height)
     axis = sw.dominant_axis(basis)
@@ -228,4 +260,4 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
     return _render_neural_axis(
         mods_disp, mods_zscore, seg if seg is not None else zeros, params,
         basis.pack() if isinstance(basis, CameraBasis) else basis, p, model,
-        axis, width, height, out_res, seg is not None)
+        axis, width, height, out_res, seg is not None, pred_stride)

@@ -27,6 +27,7 @@ def main(argv=None):
     ap.add_argument("--hidden", default="32,32")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--pred-stride", type=int, default=2)
     ap.add_argument("--write-doc", action="store_true")
     args = ap.parse_args(argv)
 
@@ -93,7 +94,8 @@ def main(argv=None):
     fps_baked = orbit_fps(lambda b: sw.render_brats(
         disp, segj, predj, b, p, S, S, composite="pallas"))
     fps_neural = orbit_fps(lambda b: neural_march.render_brats_neural(
-        disp, zsc, segj, model, params, b, p, S, S))
+        disp, zsc, segj, model, params, b, p, S, S,
+        pred_stride=args.pred_stride))
 
     ms = {k: 1000.0 / v for k, v in
           {"plain": fps_plain, "baked": fps_baked, "neural": fps_neural}.items()}

@@ -110,3 +110,21 @@ def test_separable_first_layer_matches_dense():
         h_ref = (x @ layers[0]["W"] + layers[0]["b"]).reshape(O, O, 16)
         np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pred_stride_close_to_full(scene):
+    """Stride-2 prediction evaluation approximates the full-res overlay."""
+    disp, zsc, seg = scene
+    model, params = _const_class_model(2)
+    p = rp.default_render_params(SHAPE, show_seg=False, show_pred=True,
+                                 step_size=1.8 / 24)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.2)
+    b = cam.basis()
+    full = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96))
+    strided = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96,
+        pred_stride=2))
+    # Constant prediction field: stride must be exactly equivalent.
+    np.testing.assert_allclose(strided, full, atol=2e-3)
