@@ -91,6 +91,158 @@ def _mlp_tail(layers, h):
                    preferred_element_type=jnp.float32) + last["b"]
 
 
+def _separable_first_layer_batched(layers, K: int, M: int, pos_an, pos_bn,
+                                   z_n, inv_order):
+    """Batched-over-planes variant of ``_separable_first_layer``: pos_an,
+    pos_bn are (B, Op) normalized coords and z_n is (B,). Returns
+    (row (B,Op,H), col (B,Op,H), const (B,H), W1_int (M,H))."""
+    W1 = layers[0]["W"]
+    b1 = layers[0]["b"]
+    H = W1.shape[1]
+    B, Op = pos_an.shape
+
+    def axis_feat(t):  # (..., L) -> (..., L, 1+2K)
+        if K == 0:
+            return t[..., None]
+        freqs = jnp.arange(1, K + 1, dtype=t.dtype) * math.pi
+        ang = t[..., None] * freqs
+        return jnp.concatenate([t[..., None], jnp.sin(ang), jnp.cos(ang)], -1)
+
+    def axis_slice(c):
+        rows = [W1[c:c + 1]]
+        if K > 0:
+            rows.append(W1[3 + c * 2 * K: 3 + (c + 1) * 2 * K])
+        return jnp.concatenate(rows, 0)  # (1+2K, H)
+
+    row = jnp.zeros((B, Op, H), W1.dtype)
+    col = jnp.zeros((B, Op, H), W1.dtype)
+    const = jnp.broadcast_to(b1, (B, H))
+    for c in range(3):
+        src = inv_order[c]
+        contrib = {0: z_n[:, None], 1: pos_an, 2: pos_bn}[src]  # (B, Op)|(B,1)
+        g = axis_feat(contrib) @ axis_slice(c)  # (B, Op|1, H)
+        if src == 0:
+            const = const + g[:, 0]
+        elif src == 1:
+            row = row + g
+        else:
+            col = col + g
+    W1_int = W1[3 + (3 * 2 * K if K > 0 else 0):]
+    assert W1_int.shape[0] == M, (W1_int.shape, M)
+    return row, col, const, W1_int
+
+
+def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
+                  geom, p: BratsRenderParams, axis: int, out_res: int,
+                  stride: int, z_offset=None, nk_global: Optional[int] = None,
+                  block: int = 16) -> jnp.ndarray:
+    """INR labels at strided intermediate positions for EVERY sweep plane.
+
+    Returns (n_planes, Op, Op) int32 labels, Op = out_res // stride, in
+    SWEEP order (plane m, flip applied) — the payload for the fused Pallas
+    compositing kernel's field overlay. All dense MXU work: per plane, the
+    z-scored modalities are resampled by the separable hat matmuls at the
+    strided grid and the MLP runs as one (B*Op*Op, H) batch per plane block.
+
+    ``modsz_s``: (M, K, Na, Nb) permuted (and possibly content-cropped)
+    z-scored modalities; the crop contract matches ``render_prepared``
+    (``z_offset``/``nk_global`` + geom's in-plane offsets).
+    """
+    M, Nk, Na, Nb = modsz_s.shape
+    Op = out_res // stride
+    assert Op * stride == out_res, (out_res, stride)
+    sw_mod = sw
+    bmin = sw_mod._permute3(p.vol_min, axis)
+    vox = sw_mod._permute3(p.voxel_size, axis)
+    nk_g = nk_global if nk_global is not None else Nk
+    z_off = jnp.float32(0.0) if z_offset is None else \
+        jnp.asarray(z_offset, jnp.float32)
+    n_planes = Nk + 1
+
+    m = jnp.arange(n_planes, dtype=jnp.float32)
+    z = jnp.where(geom.flip, (n_planes - 1) - m, m)  # local slice index
+    z_glob = z + z_off
+    w_k = bmin[0] + z_glob * vox[0]
+    lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
+    off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1] \
+        - geom.a_off
+    sc_a = lam * geom.da / vox[1]
+    off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2] \
+        - geom.b_off
+    sc_b = lam * geom.db / vox[2]
+    zi = jnp.clip(z, 0.0, Nk - 1).astype(jnp.int32)
+
+    acl, ach, _, aml, amh = sw_mod._geom_bounds(geom, 0, Na)
+    bcl, bch, _, bml, bmh = sw_mod._geom_bounds(geom, 1, Nb)
+
+    # Normalized GLOBAL coordinates (the INR's training convention,
+    # index/(dim-1)*2-1) from local positions + crop offsets.
+    inv_order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}[axis]
+    # Global dims along (k, a, b):
+    na_gf = jnp.where(geom.na_g < 0, jnp.float32(Na), geom.na_g)
+    nb_gf = jnp.where(geom.nb_g < 0, jnp.float32(Nb), geom.nb_g)
+    dims_perm_g = jnp.stack([jnp.float32(nk_g), na_gf, nb_gf])
+
+    separable = (model.cfg.kind == "mlp" and not model.cfg.aniso_features
+                 and model.cfg.rff_dim == 0 and model.cfg.use_modalities)
+    K = model.cfg.fourier_freqs
+    iis = jnp.arange(Op, dtype=jnp.float32) * stride
+
+    pad = (-n_planes) % block
+    n_blocks = (n_planes + pad) // block
+
+    def block_fn(bi):
+        idx = jnp.clip(bi * block + jnp.arange(block), 0, n_planes - 1)
+        oa, sa = off_a[idx], sc_a[idx]
+        ob, sb = off_b[idx], sc_b[idx]
+        Wa, _ = sw_mod._batched_hat(oa, sa * stride, Na, Op, acl, ach,
+                                    aml, amh)
+        Wb, _ = sw_mod._batched_hat(ob, sb * stride, Nb, Op, bcl, bch,
+                                    bml, bmh)
+        sl = modsz_s[:, zi[idx]]  # (M, B, Na, Nb)
+        t1 = jnp.einsum("boa,mban->mbon", Wa.astype(jnp.bfloat16),
+                        sl.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        v = jnp.einsum("mbon,bpn->mbop", t1.astype(jnp.bfloat16),
+                       Wb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        intens = jnp.moveaxis(v, 0, -1)  # (B, Op, Op, M)
+
+        pos_a_g = oa[:, None] + iis[None, :] * sa[:, None] + geom.a_off
+        pos_b_g = ob[:, None] + iis[None, :] * sb[:, None] + geom.b_off
+        z_g = z_glob[idx]
+        norm = lambda t, d: (t / (d - 1.0)) * 2.0 - 1.0
+        if separable:
+            row, col, const, W1_int = _separable_first_layer_batched(
+                params, K, M, norm(pos_a_g, dims_perm_g[1]),
+                norm(pos_b_g, dims_perm_g[2]), norm(z_g, dims_perm_g[0]),
+                inv_order)
+            h = jax.nn.relu(row[:, :, None, :] + col[:, None, :, :]
+                            + const[:, None, None, :]
+                            + jnp.dot(intens.astype(jnp.bfloat16),
+                                      W1_int.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+                            ).astype(jnp.bfloat16)
+            logits = _mlp_tail(params, h.reshape(-1, h.shape[-1]))
+        else:
+            idx_k = jnp.broadcast_to(z_g[:, None, None], (block, Op, Op))
+            idx_a = jnp.broadcast_to(pos_a_g[:, :, None], (block, Op, Op))
+            idx_b = jnp.broadcast_to(pos_b_g[:, None, :], (block, Op, Op))
+            perm_idx = (idx_k, idx_a, idx_b)
+            xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
+                             perm_idx[inv_order[2]]], axis=-1)
+            dims_xyz = jnp.stack([dims_perm_g[inv_order[0]],
+                                  dims_perm_g[inv_order[1]],
+                                  dims_perm_g[inv_order[2]]])
+            coords = (xyz / (dims_xyz - 1.0)) * 2.0 - 1.0
+            logits = model.apply(params, coords.reshape(-1, 3),
+                                 intens.reshape(-1, M))
+        return jnp.argmax(logits, -1).reshape(block, Op, Op).astype(jnp.int32)
+
+    fields = jax.lax.map(block_fn, jnp.arange(n_blocks))
+    return fields.reshape(-1, Op, Op)[:n_planes]
+
+
 @functools.partial(jax.jit, static_argnames=("model", "axis", "width",
                                              "height", "out_res", "has_seg",
                                              "pred_stride"))
@@ -238,6 +390,192 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     T0 = jnp.ones((out_res, out_res), jnp.float32)
     (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes))
     return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "axis", "width",
+                                             "height", "out_res", "has_seg",
+                                             "stride", "use_gamma",
+                                             "use_clip", "nk_global",
+                                             "inplane_global", "block"))
+def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
+                         model: ModelBundle, axis: int, width: int,
+                         height: int, out_res: int, has_seg: bool,
+                         stride: int, use_gamma: bool, use_clip: bool,
+                         z_offset=None, nk_global=None, ab_offset=None,
+                         inplane_global=None, block: int = 16):
+    """Mode-2 fast path: strided INR prediction field (all-MXU pass) fed to
+    the fused Pallas compositing kernel as a field overlay, then the final
+    warp. Accepts the same crop contract as ``shearwarp.render_prepared``."""
+    from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
+
+    basis = unpack_basis(basis_vec)
+    Kl, Nal, Nbl = mixed_s.shape
+    nk = nk_global if nk_global is not None else Kl
+    na_g, nb_g = inplane_global if inplane_global is not None else (Nal, Nbl)
+    z0 = jnp.float32(0.0) if z_offset is None \
+        else jnp.asarray(z_offset, jnp.float32)
+    if ab_offset is None:
+        a_lo = b_lo = jnp.float32(0.0)
+    else:
+        a_lo = jnp.asarray(ab_offset[0], jnp.float32)
+        b_lo = jnp.asarray(ab_offset[1], jnp.float32)
+    content_lo = jnp.stack([z0, a_lo, b_lo])
+    k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
+    content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
+    geom = sw.sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
+                             content_lo, content_hi)
+    field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
+                          stride, z_offset=z_offset, nk_global=nk_global,
+                          block=block)
+    # b-upsample by repeat (the kernel row-upsamples via one-hot matmul).
+    fieldb = jnp.repeat(field.astype(jnp.bfloat16), stride, axis=2)
+    C, T = sweep_composite_pallas(mixed_s, seg_s if has_seg else None, None,
+                                  geom, p, axis, out_res, use_gamma,
+                                  use_clip, z_offset=z_offset,
+                                  nk_global=nk_global, pred_field=fieldb,
+                                  field_stride=stride)
+    return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
+                             use_pallas=jax.default_backend() == "tpu")
+
+
+class NeuralBratsRenderer:
+    """Interactive mode-2 renderer: LIVE INR prediction overlay evaluated
+    inside the sweep (``docs/Goals.md:33-34``), with the same prepared-volume
+    caching and content crop as ``render.brats.BratsRenderer``.
+
+    Backends: 'fused' (TPU: predict_field + Pallas compositing kernel),
+    'scan' (portable XLA scan, ``render_brats_neural``), 'auto'.
+    ``crop='content'|'none'``: the content crop is computed from mods|seg —
+    INR predictions OUTSIDE that box are not rendered in 'content' mode
+    (trained INRs predict background there; use 'none' for strict parity
+    with a full-volume bake)."""
+
+    def __init__(self, mods_disp, mods_zscore, seg, model: ModelBundle,
+                 params, width: int = 1024, height: int = 1024,
+                 pred_stride: int = 4, backend: str = "auto",
+                 crop: str = "content", sweep_res: Optional[int] = None):
+        import numpy as np
+
+        self.mods = jnp.asarray(mods_disp, jnp.float32)
+        self.modsz = jnp.asarray(mods_zscore, jnp.float32)
+        self.seg = None if seg is None else jnp.asarray(seg, jnp.int32)
+        self.model = model
+        self.params = params
+        self.width = int(width)
+        self.height = int(height)
+        self.stride = int(pred_stride)
+        self.sweep_res = sweep_res
+        if backend == "auto":
+            backend = "fused" if jax.default_backend() == "tpu" else "scan"
+        self.backend = backend
+        occ = np.array(jnp.any(self.mods != 0.0, axis=0))
+        if self.seg is not None:
+            occ |= np.asarray(self.seg) != 0
+        self._bbox = []
+        for ax in range(3):
+            proj = np.any(occ, axis=tuple(a for a in range(3) if a != ax))
+            nz = np.nonzero(proj)[0]
+            self._bbox.append((int(nz[0]), int(nz[-1]) + 1) if len(nz)
+                              else (0, int(occ.shape[ax])))
+        if crop == "none":
+            self._bbox = [(0, int(s)) for s in self.mods.shape[1:]]
+        self._prep = {}
+        self._flag_cache = (None, None)
+
+    def _flags(self, p):
+        """Host-side scalar flags (crop_ok/use_gamma/use_clip), cached on
+        param VALUES: float() on a device array blocks on the in-order TPU
+        stream — done per frame it serializes every dispatch (measured 30 ms
+        per sync at 1024^2)."""
+        import numpy as np
+
+        key = (np.asarray(p.wl).tobytes(), np.asarray(p.ww).tobytes(),
+               np.asarray(p.gamma).tobytes(), np.asarray(p.near).tobytes(),
+               np.asarray(p.far).tobytes())
+        if self._flag_cache[0] != key:
+            crop_ok = (float(np.asarray(p.wl))
+                       >= 0.5 * float(np.asarray(p.ww)))
+            use_gamma = abs(float(np.asarray(p.gamma)) - 1.0) > 1e-12
+            use_clip = (float(np.asarray(p.near)) > 0.0
+                        or float(np.asarray(p.far)) > 0.0)
+            self._flag_cache = (key, (crop_ok, use_gamma, use_clip))
+        return self._flag_cache[1]
+
+    def set_params(self, params) -> None:
+        """Swap INR weights (e.g. every few training steps) — no recompile,
+        no prep-cache invalidation (the field is recomputed per frame)."""
+        self.params = params
+
+    def _prepare(self, axis: int, p):
+        from mri_raytracer_tpu.render.brats import BratsRenderer
+
+        crop_ok, _, _ = self._flags(p)
+        order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+        dims_perm = [int(self.mods.shape[1 + o]) for o in order]
+        if crop_ok:
+            crops = [BratsRenderer._crop32(*self._bbox[o], dims_perm[i])
+                     for i, o in enumerate(order)]
+        else:
+            crops = [(0, n) for n in dims_perm]
+        key = (axis, tuple(crops))
+        if key not in self._prep:
+            from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
+
+            M = self.mods.shape[0]
+            mixed = blend_modalities(self.mods, p.vol_enabled[:M],
+                                     p.vol_weight[:M])
+            mixed_s = sw._perm_volume(mixed, axis)
+            modsz_s = jnp.stack([sw._perm_volume(self.modsz[m], axis)
+                                 for m in range(M)])
+            seg_s = sw._perm_volume(self.seg, axis) \
+                if self.seg is not None else None
+            for dim, (lo, hi) in enumerate(crops):
+                if (lo, hi) != (0, dims_perm[dim]):
+                    mixed_s = jax.lax.slice_in_dim(mixed_s, lo, hi, axis=dim)
+                    modsz_s = jax.lax.slice_in_dim(modsz_s, lo, hi,
+                                                   axis=dim + 1)
+                    if seg_s is not None:
+                        seg_s = jax.lax.slice_in_dim(seg_s, lo, hi, axis=dim)
+            self._prep[key] = (mixed_s, modsz_s, seg_s, crops, dims_perm)
+        return self._prep[key]
+
+    def render(self, basis, p: BratsRenderParams) -> jnp.ndarray:
+        basis_vec = basis.pack() if isinstance(basis, CameraBasis) else basis
+        axis = sw.dominant_axis(basis)
+        if self.backend != "fused":
+            return render_brats_neural(self.mods, self.modsz, self.seg,
+                                       self.model, self.params, basis, p,
+                                       self.width, self.height,
+                                       out_res=self.sweep_res,
+                                       pred_stride=self.stride)
+        mixed_s, modsz_s, seg_s, crops, dims_perm = self._prepare(axis, p)
+        (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
+        nk, na_g, nb_g = dims_perm
+        base_res = self.sweep_res or max(self.width, self.height)
+        inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
+        if inplane_cropped:
+            frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
+            out_res = min(base_res,
+                          max(128, -(-int(base_res * frac) // 128) * 128))
+        else:
+            out_res = base_res
+        assert out_res % self.stride == 0, (out_res, self.stride)
+        slab = (k_lo, k_hi) != (0, nk)
+        _, use_gamma, use_clip = self._flags(p)
+        return _render_neural_fused(
+            mixed_s, modsz_s, seg_s, self.params, jnp.asarray(basis_vec), p,
+            self.model, axis, self.width, self.height, out_res,
+            seg_s is not None, self.stride, use_gamma, use_clip,
+            z_offset=jnp.float32(k_lo) if slab else None,
+            nk_global=nk if slab else None,
+            ab_offset=(jnp.float32(a_lo), jnp.float32(b_lo))
+            if inplane_cropped else None,
+            inplane_global=(na_g, nb_g) if inplane_cropped else None)
+
+    def render_numpy(self, basis, p) -> "np.ndarray":
+        import numpy as np
+
+        return np.asarray(self.render(basis, p))
 
 
 def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,

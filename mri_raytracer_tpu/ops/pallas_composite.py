@@ -47,13 +47,18 @@ from mri_raytracer_tpu.render.params import BratsRenderParams
 
 def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                  tile_j: int, has_seg: bool, has_pred: bool, use_gamma: bool,
-                 use_clip: bool):
+                 use_clip: bool, field_stride: int = 0):
+    # field_stride > 0: the pred stream is a PREDICTION FIELD — per-plane
+    # labels at stride-S intermediate positions, (n_planes, Op, out_res)
+    # with Op = out_res // S (neural march mode 2) — upsampled here by a
+    # floor(i/S) one-hot matmul instead of the volume-affine nearest weights.
+    Op = out_res // field_stride if field_stride else 0
     def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
                vmag_ref, dt_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
-               t_ref, sem_ref, semn_ref, semp_ref):
+               t_ref, alive_ref, sem_ref, semn_ref, semp_ref):
         # pp_ref (SMEM): (n_planes, 6) = off_a, sc_a, off_b, sc_b, lam, z
-        # sc_ref (SMEM): (12,) scalars; lut_ref (SMEM): (8, 4)
+        # sc_ref (SMEM): (16,) scalars; lut_ref (SMEM): (8, 4)
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         cg_ref[:] = jnp.zeros_like(cg_ref)
@@ -61,6 +66,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         lg_ref[:] = jnp.zeros_like(lg_ref)
         lb_ref[:] = jnp.zeros_like(lb_ref)
         t_ref[:] = jnp.ones_like(t_ref)
+        alive_ref[0] = jnp.int32(1)
 
         # Column iota (tile_i, 1): positions are constant along the Na axis,
         # so per-plane position math runs on (tile_i, 1) and only the final
@@ -73,6 +79,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             .astype(jnp.float32)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, tile_j), 1) \
             .astype(jnp.float32)
+        if field_stride:
+            # Row-upsample one-hot: output row r reads field row r // S.
+            qf = jnp.floor(iota_col / float(field_stride))  # (tile_i, 1)
+            iota_f = jax.lax.broadcasted_iota(jnp.int32, (tile_i, Op), 1) \
+                .astype(jnp.float32)
+            wan_f = (qf == iota_f).astype(jnp.float32)  # (tile_i, Op)
 
         ww = sc_ref[0]
         wl = sc_ref[1]
@@ -82,7 +94,15 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         far = sc_ref[5]
         show_seg = sc_ref[6]
         show_pred = sc_ref[7]
-        nb_f = sc_ref[8]  # in-plane b dimension (float)
+        # Content-crop bounds (global-box clamp/mask in LOCAL index units;
+        # uncropped volumes get the legacy [0, N] values).
+        mask_b_lo = sc_ref[8]
+        mask_b_hi = sc_ref[9]
+        a_clamp_lo = sc_ref[10]
+        a_clamp_hi = sc_ref[11]
+        a_clamp_hi_n = sc_ref[12]
+        mask_a_lo = sc_ref[13]
+        mask_a_hi = sc_ref[14]
         lo = wl - 0.5 * ww
         inv_ww = 1.0 / ww
         dt = dt_ref[:]
@@ -105,10 +125,15 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         def body(m, _):
             slot = jax.lax.rem(m, 2)
             # Kick off plane m+1 into the other slot before waiting on m.
+            # DMA runs UNconditionally (semaphores stay balanced even for
+            # skipped planes — wasted bandwidth is ~1 ms/frame, the saved
+            # VPU work is the frame's dominant cost).
             @pl.when(m + 1 < n_planes)
             def _():
                 for s in streams:
                     _copy(s, m + 1, 1 - slot).start()
+            for s in streams:
+                _copy(s, m, slot).wait()
 
             off_a = pp_ref[m, 0]
             sc_a = pp_ref[m, 1]
@@ -117,68 +142,86 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             lam = pp_ref[m, 4]
             own = pp_ref[m, 5]  # slab plane ownership (1.0 full volume)
 
-            # a-axis hat weights + inside mask (built on the VPU while the
-            # slab DMA completes). Position math on (O, 1); only the weight
-            # compare is full (O, Na).
-            pos_a = off_a + iota_col * sc_a  # (O, 1)
-            qa = jnp.clip(pos_a, 0.0, Na - 1.001)
-            wa = jnp.maximum(0.0, 1.0 - jnp.abs(qa - iota_n))
-            mask_a = ((pos_a >= 0.0)
-                      & (pos_a <= float(Na))).astype(jnp.float32)
-            # b-axis inside mask for this tile's columns.
-            pos_b = off_b + (tj * tile_j + iota_j) * sc_b  # (1, tile_j)
-            mask_b = ((pos_b >= 0.0) & (pos_b <= nb_f)).astype(jnp.float32)
+            # Scalar plane/tile culling: skip the whole plane when this
+            # tile's row/column footprint misses the content box (leading
+            # planes, corner tiles) — the per-pixel act mask would be
+            # all-zero — or when every ray in the tile has terminated
+            # (T <= 0.01 everywhere, the monotone early-out).
+            pa0 = off_a + (ti * tile_i) * sc_a
+            pa1 = off_a + (ti * tile_i + tile_i - 1) * sc_a
+            a_ok = (jnp.maximum(pa0, pa1) >= mask_a_lo) \
+                & (jnp.minimum(pa0, pa1) <= mask_a_hi)
+            pb0 = off_b + (tj * tile_j) * sc_b
+            pb1 = off_b + (tj * tile_j + tile_j - 1) * sc_b
+            b_ok = (jnp.maximum(pb0, pb1) >= mask_b_lo) \
+                & (jnp.minimum(pb0, pb1) <= mask_b_hi)
+            plane_ok = a_ok & b_ok & (own > 0.0)
+            if not use_clip:
+                plane_ok = plane_ok & (lam >= 0.0)
 
-            _copy(0, m, slot).wait()
-            v = jnp.dot(wa.astype(jnp.bfloat16), buf_ref[slot],
-                        preferred_element_type=jnp.float32)  # (O, tile_j)
+            @pl.when(plane_ok & (alive_ref[0] > 0))
+            def compute():
+                # a-axis hat weights + inside mask. Position math on (O, 1);
+                # only the weight compare is full (O, Na).
+                pos_a = off_a + iota_col * sc_a  # (O, 1)
+                qa = jnp.clip(pos_a, a_clamp_lo, a_clamp_hi)
+                wa = jnp.maximum(0.0, 1.0 - jnp.abs(qa - iota_n))
+                mask_a = ((pos_a >= mask_a_lo)
+                          & (pos_a <= mask_a_hi)).astype(jnp.float32)
+                # b-axis inside mask for this tile's columns.
+                pos_b = off_b + (tj * tile_j + iota_j) * sc_b  # (1, tile_j)
+                mask_b = ((pos_b >= mask_b_lo)
+                          & (pos_b <= mask_b_hi)).astype(jnp.float32)
 
-            T = t_ref[:]
-            act = mask_a * mask_b * own * (T > 0.01).astype(jnp.float32)
-            if use_clip:
-                t_k = lam * vmag_ref[:]
-                act = act * ((t_k >= near) & (t_k <= far)).astype(jnp.float32)
-            else:
-                act = act * (lam >= 0.0).astype(jnp.float32)
+                v = jnp.dot(wa.astype(jnp.bfloat16), buf_ref[slot],
+                            preferred_element_type=jnp.float32)  # (O, tile_j)
 
-            val = jnp.clip((v - lo) * inv_ww, 0.0, 1.0)
-            if use_gamma:
-                val = jnp.power(val, gamma)
-            aI = (1.0 - jnp.exp(-val * ia * dt)) * act
-            cg_ref[:] = cg_ref[:] + aI * T * val
-            T = T * (1.0 - aI)
+                T = t_ref[:]
+                act = mask_a * mask_b * own * (T > 0.01).astype(jnp.float32)
+                if use_clip:
+                    t_k = lam * vmag_ref[:]
+                    act = act * ((t_k >= near)
+                                 & (t_k <= far)).astype(jnp.float32)
 
-            if has_seg or has_pred:
-                qan = jnp.round(jnp.clip(pos_a, 0.0, Na - 1.0))  # (O, 1)
-                wan = (qan == iota_n).astype(jnp.float32)
+                val = jnp.clip((v - lo) * inv_ww, 0.0, 1.0)
+                if use_gamma:
+                    val = jnp.power(val, gamma)
+                aI = (1.0 - jnp.exp(-val * ia * dt)) * act
+                cg_ref[:] = cg_ref[:] + aI * T * val
+                T = T * (1.0 - aI)
 
-            def overlay(stream, bufx_ref, T, rate):
-                _copy(stream, m, slot).wait()
-                lab = jnp.dot(wan.astype(jnp.bfloat16), bufx_ref[slot],
-                              preferred_element_type=jnp.float32)
-                idx = jnp.round(lab)
-                a_lab = jnp.zeros_like(lab)
-                r = jnp.zeros_like(lab)
-                g = jnp.zeros_like(lab)
-                bl = jnp.zeros_like(lab)
-                for c in range(1, 8):
-                    sel = (idx == float(c))
-                    a_lab = jnp.where(sel, lut_ref[c, 3], a_lab)
-                    r = jnp.where(sel, lut_ref[c, 0], r)
-                    g = jnp.where(sel, lut_ref[c, 1], g)
-                    bl = jnp.where(sel, lut_ref[c, 2], bl)
-                aS = (1.0 - jnp.exp(-a_lab * dt * rate[0])) * act * rate[1]
-                w = aS * T
-                lr_ref[:] = lr_ref[:] + w * r
-                lg_ref[:] = lg_ref[:] + w * g
-                lb_ref[:] = lb_ref[:] + w * bl
-                return T * (1.0 - aS)
+                if has_seg or (has_pred and not field_stride):
+                    qan = jnp.round(jnp.clip(pos_a, a_clamp_lo, a_clamp_hi_n))
+                    wan = (qan == iota_n).astype(jnp.float32)  # (O, Na)
 
-            if has_seg:
-                T = overlay(1, bufn_ref, T, (1.0, show_seg))
-            if has_pred:
-                T = overlay(2, bufp_ref, T, (1.5, show_pred))
-            t_ref[:] = T
+                def overlay(wmat, bufx_ref, T, rate):
+                    lab = jnp.dot(wmat.astype(jnp.bfloat16), bufx_ref[slot],
+                                  preferred_element_type=jnp.float32)
+                    idx = jnp.round(lab)
+                    a_lab = jnp.zeros_like(lab)
+                    r = jnp.zeros_like(lab)
+                    g = jnp.zeros_like(lab)
+                    bl = jnp.zeros_like(lab)
+                    for c in range(1, 8):
+                        sel = (idx == float(c))
+                        a_lab = jnp.where(sel, lut_ref[c, 3], a_lab)
+                        r = jnp.where(sel, lut_ref[c, 0], r)
+                        g = jnp.where(sel, lut_ref[c, 1], g)
+                        bl = jnp.where(sel, lut_ref[c, 2], bl)
+                    aS = (1.0 - jnp.exp(-a_lab * dt * rate[0])) * act * rate[1]
+                    w = aS * T
+                    lr_ref[:] = lr_ref[:] + w * r
+                    lg_ref[:] = lg_ref[:] + w * g
+                    lb_ref[:] = lb_ref[:] + w * bl
+                    return T * (1.0 - aS)
+
+                if has_seg:
+                    T = overlay(wan, bufn_ref, T, (1.0, show_seg))
+                if has_pred:
+                    T = overlay(wan_f if field_stride else wan, bufp_ref, T,
+                                (1.5, show_pred))
+                t_ref[:] = T
+                alive_ref[0] = (jnp.max(T) > 0.01).astype(jnp.int32)
             return 0
 
         jax.lax.fori_loop(0, n_planes, body, 0)
@@ -196,6 +239,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                            use_gamma: bool = True, use_clip: bool = True,
                            interpret: bool = False, z_offset=None,
                            nk_global: Optional[int] = None,
+                           pred_field: Optional[jnp.ndarray] = None,
+                           field_stride: int = 0,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for shearwarp.sweep_composite (ss=1).
 
@@ -204,8 +249,15 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     ``nk_global``-deep volume starting at global slice ``z_offset`` —
     used for empty-space cropping (planes outside the occupied k-range
     contribute nothing when transfer(0) == 0) and for sharded volumes.
+
+    ``pred_field``/``field_stride``: neural-march mode 2 — per-plane INR
+    labels at stride-S intermediate positions, (n_planes, Op, out_res) in
+    SWEEP order (``neural_march.predict_field``), composited as the pred
+    overlay via in-kernel floor(i/S) upsampling. Mutually exclusive with
+    ``pred_s``.
     """
     Nk, Na, Nb = mixed_s.shape
+    assert pred_s is None or pred_field is None
     bmin = sw._permute3(p.vol_min, axis)
     vox = sw._permute3(p.voxel_size, axis)
     n_planes = Nk + 1
@@ -213,16 +265,30 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     z_off = jnp.float32(0.0) if z_offset is None else \
         jnp.asarray(z_offset, jnp.float32)
     has_seg = seg_s is not None
-    has_pred = pred_s is not None
-    # 2D tiling: i-tiles shrink the VMEM accumulators (C/T per program is
-    # (tile_i, tile_j)) and halve the per-plane weight-build redundancy;
-    # wider j-tiles amortize the a-weight build across more columns. The
-    # price is re-reading the t1b slabs once per i-tile (~0.7 ms HBM at
-    # 1024^2, cheap next to the VPU work saved).
-    if out_res % 256 == 0:
-        tile_i = tile_j = 256
+    has_pred = pred_s is not None or pred_field is not None
+    if pred_field is not None:
+        na_pred = pred_field.shape[1]
     else:
-        tile_i, tile_j = out_res, 128
+        na_pred = Na
+    # Tiling: the per-plane a-weight build — the kernel's dominant VPU cost
+    # after the per-pixel transfer math — is (tile_i, Na) PER PROGRAM, i.e.
+    # n_tj * out_res * Na per plane in total. So tile_j spans the FULL row
+    # (n_tj = 1) and tile_i is the largest divisor of out_res that keeps the
+    # five f32 accumulators + the bf16 stream double-buffers inside VMEM.
+    # The price is re-reading the t1b slabs once per i-tile (~0.1 ms/100 MB
+    # of HBM at 1024^2, cheap next to the VPU work saved).
+    tile_j = out_res
+    stream_bytes = 2 * (2 * Na + na_pred) * tile_j * 2  # bf16 double buffers
+    # Per-program VMEM: 5 f32 accumulators + the pipeline's double-buffered
+    # blocks (vmag, dt in; the (4, ti, tj) out) — 5 + 2*(2 + 4) = 17 f32
+    # planes of (tile_i, tile_j) — plus the stream buffers.
+    budget = 13 * 2 ** 20
+    tile_i = 8
+    for cand in range(out_res, 7, -8):
+        if out_res % cand == 0 and \
+                17 * 4 * cand * tile_j + stream_bytes <= budget:
+            tile_i = cand
+            break
 
     # ---------------- per-plane geometry in sweep order (XLA)
     m = jnp.arange(n_planes, dtype=jnp.float32)
@@ -230,10 +296,14 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     z_glob = z + z_off
     w_k = bmin[0] + z_glob * vox[0]
     lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
-    off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1]
+    off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1] \
+        - geom.a_off
     sc_a = lam * geom.da / vox[1]
-    off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2]
+    off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2] \
+        - geom.b_off
     sc_b = lam * geom.db / vox[2]
+    acl, ach, acn, aml, amh = sw._geom_bounds(geom, 0, Na)
+    bcl, bch, bcn, bml, bmh = sw._geom_bounds(geom, 1, Nb)
     # Channel 5: plane ownership — a slab owns its closing plane only when
     # it holds the volume end (matches shearwarp slab semantics).
     own = jnp.where(z < Nk - 1e-6, 1.0,
@@ -245,19 +315,21 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # order, no z-lerp (the z = Nk plane clamps to the edge slice).
     zi = jnp.clip(z, 0.0, Nk - 1).astype(jnp.int32)
     slices = jnp.take(mixed_s, zi, axis=0)  # (K, Na, Nb)
-    Wb, _ = sw._batched_hat(off_b, sc_b, Nb, out_res)  # (K, O, Nb)
+    Wb, _ = sw._batched_hat(off_b, sc_b, Nb, out_res, bcl, bch, bml, bmh)
     t1b = jnp.einsum("knb,kob->kno", slices.astype(jnp.bfloat16),
                      Wb.astype(jnp.bfloat16),
                      preferred_element_type=jnp.bfloat16)  # (K, Na, O)
 
-    Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res)
+    Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res, bcl, bcn)
     if has_seg:
         segsl = jnp.take(seg_s, zi, axis=0).astype(jnp.bfloat16)
         t1nb = jnp.einsum("knb,kob->kno", segsl, Wbn.astype(jnp.bfloat16),
                           preferred_element_type=jnp.bfloat16)
     else:
         t1nb = jnp.zeros((1, Na, out_res), jnp.bfloat16)
-    if has_pred:
+    if pred_field is not None:
+        t1pb = pred_field.astype(jnp.bfloat16)  # (n_planes, Op, out_res)
+    elif pred_s is not None:
         predsl = jnp.take(pred_s, zi, axis=0).astype(jnp.bfloat16)
         t1pb = jnp.einsum("knb,kob->kno", predsl, Wbn.astype(jnp.bfloat16),
                           preferred_element_type=jnp.bfloat16)
@@ -270,7 +342,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         p.ww, p.wl, p.gamma, p.intensity_alpha, near, far,
         jnp.where(p.show_seg > 0, 1.0, 0.0),
         jnp.where(p.show_pred > 0, 1.0, 0.0),
-        jnp.float32(Nb), jnp.float32(0), jnp.float32(0), jnp.float32(0)])
+        bml, bmh, acl, ach, acn, aml, amh, jnp.float32(0)])
 
     n_ti = out_res // tile_i
     n_tj = out_res // tile_j
@@ -289,12 +361,13 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         scratch_shapes=[
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1b double buffer
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1nb double buffer
-            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1pb double buffer
+            pltpu.VMEM((2, na_pred, tile_j), jnp.bfloat16),  # t1pb/field buf
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # C gray
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L r
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L g
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L b
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # T
+            pltpu.SMEM((1,), jnp.int32),  # alive (early-termination flag)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -302,7 +375,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     )
     out = pl.pallas_call(
         _make_kernel(n_planes, Na, out_res, tile_i, tile_j, has_seg, has_pred,
-                     use_gamma, use_clip),
+                     use_gamma, use_clip,
+                     field_stride if pred_field is not None else 0),
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -52,7 +52,16 @@ _EPS = 1e-6
 
 # --------------------------------------------------------------------- geometry
 class SweepGeom(NamedTuple):
-    """Per-frame scalars/maps for one sweep axis (all traced arrays)."""
+    """Per-frame scalars/maps for one sweep axis (all traced arrays).
+
+    The trailing fields support the in-plane CONTENT CROP (the 2-D analog of
+    the empty-space k-crop): prepared volumes may be sliced to the occupied
+    (a, b) bounding box, with ``a_off``/``b_off`` the global index of the
+    crop's first row/column and ``na_g``/``nb_g`` the full (uncropped)
+    in-plane dims. Weight builders express the shader's global-box clamp and
+    inside-box mask in LOCAL (cropped) index units via these offsets;
+    defaults (0 offset, global == local) reproduce the uncropped behavior.
+    """
 
     w_base: jnp.ndarray  # () world coord of the base plane along sweep axis
     e: jnp.ndarray  # (3,) eye, permuted to (k, a, b)
@@ -63,6 +72,18 @@ class SweepGeom(NamedTuple):
     flip: jnp.ndarray  # () bool: sweep slices in descending k order
     vmag: jnp.ndarray  # (O, O) |base_point - eye| per intermediate pixel
     dt_map: jnp.ndarray  # (O, O) per-ray spacing between consecutive planes
+    a_off: jnp.ndarray = 0.0  # () global index of cropped volume's a row 0
+    b_off: jnp.ndarray = 0.0  # ()
+    na_g: jnp.ndarray = -1.0  # () global a dim (-1: use the local dim)
+    nb_g: jnp.ndarray = -1.0  # ()
+
+
+def _crop_bounds(off_g, n_g, n_local: int):
+    """(clamp_lo, clamp_hi_hat, clamp_hi_near, mask_lo, mask_hi) in LOCAL
+    index units for a volume cropped at global row ``off_g`` of ``n_g``
+    global rows (both traced; n_g < 0 means uncropped)."""
+    n = jnp.where(n_g < 0, jnp.float32(n_local), n_g)
+    return (-off_g, n - 1.001 - off_g, n - 1.0 - off_g, -off_g, n - off_g)
 
 
 def _permute3(v: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -79,24 +100,33 @@ def _perm_volume(vol: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
                    dims_perm: Tuple[int, int, int], axis: int,
-                   out_res: int) -> SweepGeom:
+                   out_res: int, content_lo=None,
+                   content_hi=None) -> SweepGeom:
+    """``dims_perm`` are the GLOBAL permuted dims. ``content_lo``/``hi``
+    (traced (3,) index-unit bounds, default the full box) define the content
+    box whose eye-projection sets the intermediate extent and base plane —
+    rays are spent only on the occupied region (exact whenever voxels outside
+    the content box are empty and transfer(0) == 0)."""
     Nk, Na, Nb = dims_perm
     bmin = _permute3(p.vol_min, axis)
     vox = _permute3(p.voxel_size, axis)
     e = _permute3(basis.eye, axis)
     dimsf = jnp.array([Nk, Na, Nb], jnp.float32)
+    c_lo = jnp.zeros(3, jnp.float32) if content_lo is None \
+        else jnp.asarray(content_lo, jnp.float32)
+    c_hi = dimsf if content_hi is None else jnp.asarray(content_hi, jnp.float32)
 
-    # Base plane: the k-face farthest from the eye.
-    w_lo = bmin[0]
-    w_hi = bmin[0] + vox[0] * Nk
+    # Base plane: the content k-face farthest from the eye.
+    w_lo = bmin[0] + vox[0] * c_lo[0]
+    w_hi = bmin[0] + vox[0] * c_hi[0]
     use_hi = jnp.abs(w_hi - e[0]) > jnp.abs(w_lo - e[0])
     w_base = jnp.where(use_hi, w_hi, w_lo)
 
-    # Intermediate extent: projections of the 8 box corners from the eye
-    # onto the base plane, clamped to 3x the box (guards rays nearly
+    # Intermediate extent: projections of the 8 content-box corners from the
+    # eye onto the base plane, clamped to 3x the box (guards rays nearly
     # parallel to the slice planes).
-    ca = jnp.array([bmin[1], bmin[1] + vox[1] * Na])
-    cb = jnp.array([bmin[2], bmin[2] + vox[2] * Nb])
+    ca = bmin[1] + vox[1] * jnp.array([c_lo[1], c_hi[1]])
+    cb = bmin[2] + vox[2] * jnp.array([c_lo[2], c_hi[2]])
     ck = jnp.array([w_lo, w_hi])
     K, A, B = jnp.meshgrid(ck, ca, cb, indexing="ij")
     denom = K.reshape(-1) - e[0]
@@ -105,12 +135,12 @@ def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
     lam = jnp.clip(lam, 0.0, 3.0)
     proj_a = e[1] + lam * (A.reshape(-1) - e[1])
     proj_b = e[2] + lam * (B.reshape(-1) - e[2])
-    size_a = vox[1] * Na
-    size_b = vox[2] * Nb
-    amin = jnp.clip(jnp.min(proj_a), bmin[1] - size_a, bmin[1] + 2 * size_a)
-    amax = jnp.clip(jnp.max(proj_a), bmin[1] - size_a, bmin[1] + 2 * size_a)
-    bmin2 = jnp.clip(jnp.min(proj_b), bmin[2] - size_b, bmin[2] + 2 * size_b)
-    bmax2 = jnp.clip(jnp.max(proj_b), bmin[2] - size_b, bmin[2] + 2 * size_b)
+    size_a = ca[1] - ca[0]
+    size_b = cb[1] - cb[0]
+    amin = jnp.clip(jnp.min(proj_a), ca[0] - size_a, ca[0] + 2 * size_a)
+    amax = jnp.clip(jnp.max(proj_a), ca[0] - size_a, ca[0] + 2 * size_a)
+    bmin2 = jnp.clip(jnp.min(proj_b), cb[0] - size_b, cb[0] + 2 * size_b)
+    bmax2 = jnp.clip(jnp.max(proj_b), cb[0] - size_b, cb[0] + 2 * size_b)
     da = jnp.maximum(amax - amin, _EPS) / (out_res - 1)
     db = jnp.maximum(bmax2 - bmin2, _EPS) / (out_res - 1)
 
@@ -123,31 +153,41 @@ def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
 
     flip = (vox[0] / jnp.where(jnp.abs(vk) < _EPS, _EPS, vk)) < 0.0
     return SweepGeom(w_base=w_base, e=e, a0=amin, b0=bmin2, da=da, db=db,
-                     flip=flip, vmag=vmag, dt_map=dt_map)
+                     flip=flip, vmag=vmag, dt_map=dt_map,
+                     a_off=c_lo[1], b_off=c_lo[2],
+                     na_g=jnp.float32(Na), nb_g=jnp.float32(Nb))
 
 
 # ------------------------------------------------------------ weight matrices
 def _inplane_affine(geom: SweepGeom, in_axis: int, bmin_a, vox_a, w_k):
-    """Scale/offset of the crossing position (index units) along in-plane
-    axis ``in_axis`` (0 = a, 1 = b) for the slice plane at world ``w_k``:
-    pos(i) = off + i * sc."""
+    """Scale/offset of the crossing position (LOCAL index units of the
+    possibly-cropped volume) along in-plane axis ``in_axis`` (0 = a, 1 = b)
+    for the slice plane at world ``w_k``: pos(i) = off + i * sc."""
     e_in = geom.e[1 + in_axis]
     g0 = geom.a0 if in_axis == 0 else geom.b0
     dg = geom.da if in_axis == 0 else geom.db
+    off_g = geom.a_off if in_axis == 0 else geom.b_off
     lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
-    off = (e_in * (1.0 - lam) + lam * g0 - bmin_a) / vox_a
+    off = (e_in * (1.0 - lam) + lam * g0 - bmin_a) / vox_a - off_g
     sc = lam * dg / vox_a
     return off, sc, lam
 
 
-def hat_matrix(off, sc, n_in: int, out_res: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def hat_matrix(off, sc, n_in: int, out_res: int, clamp_lo=0.0, clamp_hi=None,
+               mask_lo=0.0, mask_hi=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(O, N) trilinear hat weights + (O,) inside-box mask for positions
-    pos(i) = off + i*sc. Positions are clamped to [0, n_in - 1.001] exactly
-    like the shader sampler; the mask marks pos in [0, n_in] (the full box)."""
+    pos(i) = off + i*sc. Positions clamp to [clamp_lo, clamp_hi] — the
+    shader sampler's global-box clamp, default [0, n_in - 1.001] — and the
+    mask marks pos in [mask_lo, mask_hi] (default [0, n_in], the full box).
+    For CROPPED volumes the bounds are the global ones shifted into local
+    units; positions outside [-1, n_in] then get all-zero rows, the natural
+    trilinear weight of a sample whose support voxels are absent (= empty)."""
+    clamp_hi = n_in - 1.001 if clamp_hi is None else clamp_hi
+    mask_hi = float(n_in) if mask_hi is None else mask_hi
     i = jnp.arange(out_res, dtype=jnp.float32)
     pos = off + i * sc  # (O,)
-    inside = (pos >= 0.0) & (pos <= float(n_in))
-    q = jnp.clip(pos, 0.0, n_in - 1.001)
+    inside = (pos >= mask_lo) & (pos <= mask_hi)
+    q = jnp.clip(pos, clamp_lo, clamp_hi)
     base = jnp.floor(q)
     frac = q - base
     y = jnp.arange(n_in, dtype=jnp.float32)
@@ -157,13 +197,23 @@ def hat_matrix(off, sc, n_in: int, out_res: int) -> Tuple[jnp.ndarray, jnp.ndarr
     return w, inside.astype(jnp.float32)
 
 
-def nearest_matrix(off, sc, n_in: int, out_res: int) -> jnp.ndarray:
-    """(O, N) one-hot nearest weights (label channels): round(clamp(pos))."""
+def nearest_matrix(off, sc, n_in: int, out_res: int, clamp_lo=0.0,
+                   clamp_hi=None) -> jnp.ndarray:
+    """(O, N) one-hot nearest weights (label channels): round(clamp(pos));
+    out-of-crop positions match no row (label 0 = empty, exact)."""
+    clamp_hi = float(n_in - 1) if clamp_hi is None else clamp_hi
     i = jnp.arange(out_res, dtype=jnp.float32)
     pos = off + i * sc
-    q = jnp.round(jnp.clip(pos, 0.0, float(n_in - 1)))
+    q = jnp.round(jnp.clip(pos, clamp_lo, clamp_hi))
     y = jnp.arange(n_in, dtype=jnp.float32)
     return (y[None, :] == q[:, None]).astype(jnp.float32)
+
+
+def _geom_bounds(geom: SweepGeom, in_axis: int, n_local: int):
+    """Weight-builder bounds for in-plane axis 0 (a) or 1 (b)."""
+    off_g = geom.a_off if in_axis == 0 else geom.b_off
+    n_g = geom.na_g if in_axis == 0 else geom.nb_g
+    return _crop_bounds(off_g, n_g, n_local)
 
 
 def _lut_rgba(lab: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
@@ -253,8 +303,10 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         w_k = bmin[0] + z_glob * vox[0]
         off_a, sc_a, lam = _inplane_affine(geom, 0, bmin[1], vox[1], w_k)
         off_b, sc_b, _ = _inplane_affine(geom, 1, bmin[2], vox[2], w_k)
-        Wa, mask_a = hat_matrix(off_a, sc_a, Na, out_res)
-        Wb, mask_b = hat_matrix(off_b, sc_b, Nb, cols)
+        acl, ach, acn, aml, amh = _geom_bounds(geom, 0, Na)
+        bcl, bch, bcn, bml, bmh = _geom_bounds(geom, 1, Nb)
+        Wa, mask_a = hat_matrix(off_a, sc_a, Na, out_res, acl, ach, aml, amh)
+        Wb, mask_b = hat_matrix(off_b, sc_b, Nb, cols, bcl, bch, bml, bmh)
 
         # z-lerp the two bracketing slices, then separable in-plane resample
         # (linear ops commute => exact trilinear at the crossing position).
@@ -294,8 +346,8 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         C, T = _composite(C, T, val[..., None], a)
 
         if seg_s is not None:
-            Wan = nearest_matrix(off_a, sc_a, Na, out_res)
-            Wbn = nearest_matrix(off_b, sc_b, Nb, cols)
+            Wan = nearest_matrix(off_a, sc_a, Na, out_res, acl, acn)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, cols, bcl, bcn)
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             lab = _nearest_resample(seg_s, zn, Wan, Wbn)
             rgba = _lut_rgba(lab, p.lut)
@@ -309,8 +361,8 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     jnp.where(p.show_pred > 0, 1.0, 0.0)
                 C, T = _composite(C, T, rgba[..., :3], a)
         elif pred_s is not None:
-            Wan = nearest_matrix(off_a, sc_a, Na, out_res)
-            Wbn = nearest_matrix(off_b, sc_b, Nb, cols)
+            Wan = nearest_matrix(off_a, sc_a, Na, out_res, acl, acn)
+            Wbn = nearest_matrix(off_b, sc_b, Nb, cols, bcl, bcn)
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             labp = _nearest_resample(pred_s, zn, Wan, Wbn)
             rgba = _lut_rgba(labp, p.lut)
@@ -328,12 +380,15 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     return C, T
 
 
-def _batched_hat(offs, scs, n_in: int, out_res: int):
+def _batched_hat(offs, scs, n_in: int, out_res: int, clamp_lo=0.0,
+                 clamp_hi=None, mask_lo=0.0, mask_hi=None):
     """(S,O,N) hat weights + (S,O) inside mask for a slab of planes."""
+    clamp_hi = n_in - 1.001 if clamp_hi is None else clamp_hi
+    mask_hi = float(n_in) if mask_hi is None else mask_hi
     i = jnp.arange(out_res, dtype=jnp.float32)
     pos = offs[:, None] + i[None, :] * scs[:, None]  # (S, O)
-    inside = ((pos >= 0.0) & (pos <= float(n_in))).astype(jnp.float32)
-    q = jnp.clip(pos, 0.0, n_in - 1.001)
+    inside = ((pos >= mask_lo) & (pos <= mask_hi)).astype(jnp.float32)
+    q = jnp.clip(pos, clamp_lo, clamp_hi)
     base = jnp.floor(q)
     frac = q - base
     y = jnp.arange(n_in, dtype=jnp.float32)
@@ -343,10 +398,12 @@ def _batched_hat(offs, scs, n_in: int, out_res: int):
     return w, inside
 
 
-def _batched_nearest(offs, scs, n_in: int, out_res: int):
+def _batched_nearest(offs, scs, n_in: int, out_res: int, clamp_lo=0.0,
+                     clamp_hi=None):
+    clamp_hi = float(n_in - 1) if clamp_hi is None else clamp_hi
     i = jnp.arange(out_res, dtype=jnp.float32)
     pos = offs[:, None] + i[None, :] * scs[:, None]
-    q = jnp.round(jnp.clip(pos, 0.0, float(n_in - 1)))
+    q = jnp.round(jnp.clip(pos, clamp_lo, clamp_hi))
     y = jnp.arange(n_in, dtype=jnp.float32)
     return (y[None, None, :] == q[..., None]).astype(jnp.float32)
 
@@ -418,13 +475,17 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
         w_k = bmin[0] + z * vox[0]
         lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
-        off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1]
+        off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1] \
+            - geom.a_off
         sc_a = lam * geom.da / vox[1]
-        off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2]
+        off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2] \
+            - geom.b_off
         sc_b = lam * geom.db / vox[2]
 
-        Wa, mask_a = _batched_hat(off_a, sc_a, Na, out_res)
-        Wb, mask_b = _batched_hat(off_b, sc_b, Nb, out_res)
+        acl, ach, acn, aml, amh = _geom_bounds(geom, 0, Na)
+        bcl, bch, bcn, bml, bmh = _geom_bounds(geom, 1, Nb)
+        Wa, mask_a = _batched_hat(off_a, sc_a, Na, out_res, acl, ach, aml, amh)
+        Wb, mask_b = _batched_hat(off_b, sc_b, Nb, out_res, bcl, bch, bml, bmh)
         v = _bf16_resample(block, Wa, Wb)  # (S, O, O)
 
         t_k = lam[:, None, None] * geom.vmag[None]  # (S, O, O)
@@ -438,8 +499,8 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         tau = 1.0 - aI
 
         if seg_s is not None or pred_s is not None:
-            Wan = _batched_nearest(off_a, sc_a, Na, out_res)
-            Wbn = _batched_nearest(off_b, sc_b, Nb, out_res)
+            Wan = _batched_nearest(off_a, sc_a, Na, out_res, acl, acn)
+            Wbn = _batched_nearest(off_b, sc_b, Nb, out_res, bcl, bcn)
         if seg_s is not None:
             seg_blk = jax.lax.dynamic_slice_in_dim(seg_p, start, slab, 0)
             seg_blk = jnp.where(geom.flip, jnp.flip(seg_blk, 0), seg_blk)
@@ -561,10 +622,24 @@ def prepare_sweep_volumes(mods, seg, pred, p, axis, has_seg, has_pred):
 def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                           height, out_res, supersample, use_gamma, use_clip,
                           use_pallas, composite, z_offset=None,
-                          nk_global=None):
+                          nk_global=None, ab_offset=None,
+                          inplane_global=None):
     basis = unpack_basis(basis_vec)
-    nk = nk_global if nk_global is not None else mixed_s.shape[0]
-    geom = sweep_geometry(basis, p, (nk,) + mixed_s.shape[1:], axis, out_res)
+    Kl, Nal, Nbl = mixed_s.shape
+    nk = nk_global if nk_global is not None else Kl
+    na_g, nb_g = inplane_global if inplane_global is not None else (Nal, Nbl)
+    z0 = jnp.float32(0.0) if z_offset is None \
+        else jnp.asarray(z_offset, jnp.float32)
+    if ab_offset is None:
+        a_lo = b_lo = jnp.float32(0.0)
+    else:
+        a_lo = jnp.asarray(ab_offset[0], jnp.float32)
+        b_lo = jnp.asarray(ab_offset[1], jnp.float32)
+    content_lo = jnp.stack([z0, a_lo, b_lo])
+    k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
+    content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
+    geom = sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
+                          content_lo, content_hi)
     if composite == "pallas" and supersample == 1 and out_res % 128 == 0:
         from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
 
@@ -585,37 +660,48 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                    static_argnames=("axis", "width", "height", "out_res",
                                     "supersample", "has_seg", "has_pred",
                                     "use_gamma", "use_clip", "use_pallas",
-                                    "composite", "nk_global"))
+                                    "composite", "nk_global",
+                                    "inplane_global"))
 def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                      height, out_res, supersample, has_seg, has_pred,
                      use_gamma=True, use_clip=True, use_pallas=False,
-                     composite="scan", z_offset=None, nk_global=None):
+                     composite="scan", z_offset=None, nk_global=None,
+                     ab_offset=None, inplane_global=None):
     return _render_prepared_impl(mixed_s, seg_s if has_seg else None,
                                  pred_s if has_pred else None, basis_vec, p,
                                  axis, width, height, out_res, supersample,
                                  use_gamma, use_clip, use_pallas, composite,
-                                 z_offset, nk_global)
+                                 z_offset, nk_global, ab_offset,
+                                 inplane_global)
 
 
 def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                     out_res, supersample=1, use_gamma=True, use_clip=True,
-                    composite="scan", z_offset=None, nk_global=None):
+                    composite="scan", z_offset=None, nk_global=None,
+                    ab_offset=None, inplane_global=None):
     """Per-frame renderer over cached prepared volumes (the interactive path).
 
     ``z_offset``/``nk_global``: slab contract (empty-space k-crop or sharded
     volumes) — the prepared volumes hold slices
     [z_offset, z_offset + K) of an ``nk_global``-deep volume.
+    ``ab_offset``/``inplane_global``: the in-plane analog (content crop) —
+    prepared volumes hold rows [a_off, a_off + Na) x cols [b_off, b_off + Nb)
+    of an (na_g, nb_g) in-plane extent, and the intermediate image covers
+    only the content box's projection.
     """
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
     z_off = None if z_offset is None else jnp.asarray(z_offset, jnp.float32)
+    ab = None if ab_offset is None else (
+        jnp.asarray(ab_offset[0], jnp.float32),
+        jnp.asarray(ab_offset[1], jnp.float32))
     return _render_prepared(mixed_s, seg_s if seg_s is not None else zeros,
                             pred_s if pred_s is not None else zeros,
                             basis.pack() if isinstance(basis, CameraBasis) else basis,
                             p, axis, width, height, out_res, supersample,
                             seg_s is not None, pred_s is not None,
                             use_gamma, use_clip, use_pallas, composite,
-                            z_off, nk_global)
+                            z_off, nk_global, ab, inplane_global)
 
 
 @functools.partial(jax.jit,

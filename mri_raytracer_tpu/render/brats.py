@@ -56,26 +56,48 @@ class BratsRenderer:
         self.seg = None if seg is None else jnp.asarray(seg, jnp.int32)
         self.pred = None if pred is None else jnp.asarray(pred, jnp.int32)
         # Host-side occupancy bounding box (any modality or label nonzero):
-        # the sweep skips planes outside it when the transfer function maps
-        # empty space to zero (empty-space skipping, exact by construction).
+        # the sweep crops to it along ALL THREE axes when the transfer
+        # function maps empty space to zero (content crop, exact by
+        # construction): planes outside the k-range are skipped and the
+        # intermediate image covers only the content box's projection.
         occ = np.array(jnp.any(self.mods != 0.0, axis=0))
         if self.seg is not None:
             occ |= np.asarray(self.seg) != 0
-        if self.pred is not None:
-            occ |= np.asarray(self.pred) != 0
-        self._bbox = []
-        for ax in range(3):
-            proj = np.any(occ, axis=tuple(a for a in range(3) if a != ax))
-            nz = np.nonzero(proj)[0]
-            if len(nz):
-                self._bbox.append((int(nz[0]), int(nz[-1]) + 1))
-            else:
-                self._bbox.append((0, occ.shape[ax]))
+        self._occ_proj = [np.any(occ, axis=tuple(a for a in range(3)
+                                                 if a != ax))
+                          for ax in range(3)]
+        self._refresh_bbox()
         self.width = int(width)
         self.height = int(height)
         self.max_steps = int(max_steps)
         self.backend = _resolve_backend(backend)
         self._build()
+
+    def _refresh_bbox(self) -> None:
+        """Tight occupancy bbox per axis = base projections OR pred's."""
+        self._bbox = []
+        for ax in range(3):
+            proj = self._occ_proj[ax]
+            if self.pred is not None:
+                proj = proj | np.asarray(
+                    jnp.any(self.pred != 0,
+                            axis=tuple(a for a in range(3) if a != ax)))
+            nz = np.nonzero(proj)[0]
+            if len(nz):
+                self._bbox.append((int(nz[0]), int(nz[-1]) + 1))
+            else:
+                self._bbox.append((0, int(proj.shape[0])))
+
+    @staticmethod
+    def _crop32(lo: int, hi: int, n: int) -> tuple:
+        """Pad a crop range to 16-slice granularity (stable shapes across
+        small bbox changes — the bbox is camera-independent, so granularity
+        only limits recompiles when set_prediction grows the box). The +1 on
+        the high side guarantees at least one empty guard slice whenever the
+        bbox doesn't touch the volume edge, so the local edge-clamp at the
+        crop's closing plane lands on a zero slice (exactness of the k-slab's
+        last plane)."""
+        return (lo // 16) * 16, min(n, -(-(hi + 1) // 16) * 16)
 
     @staticmethod
     def _params_key(params) -> tuple:
@@ -107,21 +129,26 @@ class BratsRenderer:
                                      use_clip)
                 _, p_dev, use_gamma, use_clip = self._p_cache
                 # Blended+permuted volumes are camera-independent: cache per
-                # (axis, blend weights); invalidated by set_prediction.
+                # (axis, crop, blend weights); invalidated by set_prediction.
                 axis = shearwarp.dominant_axis(basis)
-                # Empty-space k-crop: exact whenever transfer(0) == 0
-                # (wl >= ww/2), i.e. empty voxels emit nothing. Slab bounds
-                # pad to 32 so orbit camera changes never force recompiles.
-                nk = int(self.mods.shape[1 + axis])
+                # Content crop: exact whenever transfer(0) == 0 (wl >= ww/2),
+                # i.e. empty voxels emit nothing. Planes outside the occupied
+                # k-range are skipped (slab contract) and the in-plane crop +
+                # shrunk intermediate resolution spend rays only on the
+                # content box's projection, at >= the uncropped sampling
+                # density. Bounds pad to 32 for stable compiled shapes.
+                order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+                dims_perm = [int(self.mods.shape[1 + o]) for o in order]
+                nk, na_g, nb_g = dims_perm
                 crop_ok = (float(np.asarray(params.wl))
                            >= 0.5 * float(np.asarray(params.ww)))
                 if crop_ok:
-                    lo, hi = self._bbox[axis]
-                    k_lo = (lo // 32) * 32
-                    k_hi = min(nk, -(-hi // 32) * 32)
+                    crops = [self._crop32(*self._bbox[o], dims_perm[i])
+                             for i, o in enumerate(order)]
                 else:
-                    k_lo, k_hi = 0, nk
-                blend_key = (axis, k_lo, k_hi,
+                    crops = [(0, n) for n in dims_perm]
+                (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
+                blend_key = (axis, tuple(crops),
                              np.asarray(params.vol_enabled).tobytes(),
                              np.asarray(params.vol_weight).tobytes())
                 prep = self._prep_cache.get(blend_key)
@@ -131,14 +158,26 @@ class BratsRenderer:
                         mods, seg if seg is not None else zeros,
                         pred if pred is not None else zeros, p_dev, axis,
                         seg is not None, pred is not None)
-                    if (k_lo, k_hi) != (0, nk):
-                        prep = tuple(
-                            None if v is None
-                            else jax.lax.slice_in_dim(v, k_lo, k_hi, axis=0)
-                            for v in prep)
+                    for dim, (lo, hi) in enumerate(crops):
+                        if (lo, hi) != (0, dims_perm[dim]):
+                            prep = tuple(
+                                None if v is None
+                                else jax.lax.slice_in_dim(v, lo, hi, axis=dim)
+                                for v in prep)
                     self._prep_cache[blend_key] = prep
                 mixed_s, seg_s, pred_s = prep
-                out_res = self.sweep_res or max(self.width, self.height)
+                # Shrink the intermediate to the content footprint at the
+                # same samples-per-screen-pixel budget (the round-up to 128
+                # only ever RAISES the sampling density).
+                base_res = self.sweep_res or max(self.width, self.height)
+                inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
+                if inplane_cropped:
+                    frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
+                    out_res = min(base_res,
+                                  max(128, -(-int(base_res * frac) // 128)
+                                      * 128))
+                else:
+                    out_res = base_res
                 slab = (k_lo, k_hi) != (0, nk)
                 return shearwarp.render_prepared(
                     mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
@@ -146,7 +185,9 @@ class BratsRenderer:
                     use_gamma=use_gamma, use_clip=use_clip,
                     composite=composite,
                     z_offset=k_lo if slab else None,
-                    nk_global=nk if slab else None)
+                    nk_global=nk if slab else None,
+                    ab_offset=(a_lo, b_lo) if inplane_cropped else None,
+                    inplane_global=(na_g, nb_g) if inplane_cropped else None)
         else:
             fn = raymarch_xla.render_brats
 
@@ -173,6 +214,7 @@ class BratsRenderer:
         """Upload an INR prediction volume (reference 'Load INR & Predict')."""
         self.pred = None if pred is None else jnp.asarray(pred, jnp.int32)
         self._prep_cache.clear()  # prepared volumes embed has_pred/pred data
+        self._refresh_bbox()  # pred content may extend the crop box
 
     def render(self, basis: CameraBasis, params: BratsRenderParams) -> jnp.ndarray:
         return self._call(self.mods, self.seg, self.pred, basis, params)

@@ -27,7 +27,11 @@ def main(argv=None):
     ap.add_argument("--hidden", default="32,32")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--batches", type=int, default=3)
-    ap.add_argument("--pred-stride", type=int, default=2)
+    # stride 4 at 1024^2/256^3 matches the baked overlay's effective content
+    # resolution (a 256-wide label volume nearest-sampled at 1024 intermediate
+    # positions carries ~256 distinct samples per axis, exactly what the
+    # strided field evaluates).
+    ap.add_argument("--pred-stride", type=int, default=4)
     ap.add_argument("--write-doc", action="store_true")
     args = ap.parse_args(argv)
 
@@ -43,8 +47,9 @@ def main(argv=None):
     from mri_raytracer_tpu.data import brats, synthetic
     from mri_raytracer_tpu.eval.inference import predict_volume
     from mri_raytracer_tpu.models.api import build_model
-    from mri_raytracer_tpu.ops import neural_march, shearwarp as sw
+    from mri_raytracer_tpu.ops import neural_march
     from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.brats import BratsRenderer
     from mri_raytracer_tpu.render.camera import OrbitalCamera
 
     V = (args.vol, args.vol, args.vol)
@@ -89,13 +94,16 @@ def main(argv=None):
             rates.append(args.frames / (time.perf_counter() - t0))
         return float(np.median(rates))
 
-    fps_plain = orbit_fps(lambda b: sw.render_brats(
-        disp, segj, None, b, p, S, S, composite="pallas"))
-    fps_baked = orbit_fps(lambda b: sw.render_brats(
-        disp, segj, predj, b, p, S, S, composite="pallas"))
-    fps_neural = orbit_fps(lambda b: neural_march.render_brats_neural(
-        disp, zsc, segj, model, params, b, p, S, S,
-        pred_stride=args.pred_stride))
+    r_plain = BratsRenderer(disp, segj, None, width=S, height=S)
+    r_baked = BratsRenderer(disp, segj, predj, width=S, height=S)
+    r_neural = neural_march.NeuralBratsRenderer(
+        disp, zsc, segj, model, params, width=S, height=S,
+        pred_stride=args.pred_stride)
+    fps_plain = orbit_fps(lambda b: r_plain.render(b, p))
+    p_np = p._replace(show_pred=np.float32(1.0))
+    fps_baked = orbit_fps(lambda b: r_baked.render(b, p_np))
+    fps_neural = orbit_fps(lambda b: r_neural.render(b, p_np))
+    print(f"[nm] neural backend: {r_neural.backend}", file=sys.stderr)
 
     ms = {k: 1000.0 / v for k, v in
           {"plain": fps_plain, "baked": fps_baked, "neural": fps_neural}.items()}

@@ -128,3 +128,50 @@ def test_pred_stride_close_to_full(scene):
         pred_stride=2))
     # Constant prediction field: stride must be exactly equivalent.
     np.testing.assert_allclose(strided, full, atol=2e-3)
+
+
+def test_fused_field_path_matches_scan(scene):
+    """Mode-2 v2 (predict_field + fused Pallas kernel, interpret mode)
+    reproduces the scan-path mode-2 image at the same stride/out_res."""
+    from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
+    from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
+
+    disp, zsc, seg = scene
+    cfg = ModelConfig(hidden_dims=(16, 16), fourier_freqs=4, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(3))
+    # Push logits around so several classes appear somewhere.
+    params[-1]["b"] = params[-1]["b"] + jnp.array([0.0, 0.4, 0.5, 0.45])
+
+    p = rp.default_render_params(SHAPE, show_seg=True, show_pred=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.8, phi=1.1)
+    b = cam.basis()
+    axis = sw.dominant_axis(b)
+    O, S = 128, 2
+    W = H = 96
+
+    img_scan = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, seg, model, params, b, p, W, H, out_res=O, pred_stride=S))
+
+    mixed = blend_modalities(disp, p.vol_enabled, p.vol_weight)
+    mixed_s = sw._perm_volume(mixed, axis)
+    modsz_s = jnp.stack([sw._perm_volume(zsc[m], axis) for m in range(4)])
+    seg_s = sw._perm_volume(seg, axis)
+    geom = sw.sweep_geometry(b, p, mixed_s.shape, axis, O)
+    field = neural_march.predict_field(model, params, modsz_s, geom, p,
+                                       axis, O, S, block=8)
+    fieldb = jnp.repeat(field.astype(jnp.bfloat16), S, axis=2)
+    C, T = sweep_composite_pallas(mixed_s, seg_s, None, geom, p, axis, O,
+                                  use_gamma=False, use_clip=False,
+                                  interpret=True, pred_field=fieldb,
+                                  field_stride=S)
+    img_fused = np.asarray(sw.warp_to_screen(C, geom, b, axis, W, H,
+                                             p.bg_color))
+    assert psnr(img_fused, img_scan) >= 40.0
+    # The prediction overlay must actually be present in both.
+    p_off = p._replace(show_pred=np.float32(0.0))
+    img_scan_off = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, seg, model, params, b, p_off, W, H, out_res=O,
+        pred_stride=S))
+    assert np.abs(img_scan - img_scan_off).max() > 1e-3
