@@ -39,7 +39,7 @@ def main() -> None:
 
     SIZE = 1024
     VOL = (256, 256, 256)
-    WARMUP, ITERS, BATCHES = 4, 10, 3  # median over batches rides out tunnel noise
+    WARMUP, ITERS, BATCHES = 4, 15, 5  # median over batches rides out tunnel noise
 
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
