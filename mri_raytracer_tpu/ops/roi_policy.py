@@ -130,7 +130,11 @@ def build_feature_volumes(mixed: np.ndarray, seg: Optional[np.ndarray],
     # segment safe to skip (content can cross its interior); max-filtered
     # intensity ~0 does. This is the occupancy-grid idea (Methodology:34
     # 'optional occupancy grid') expressed as a policy feature.
-    occ_r = max(5, min(mixed.shape) // 12) | 1
+    # Dilation radius: half a coarse-segment span (diag-chord/n_coarse/2 ~ 2
+    # voxels at 96^3 / 48 probes) + trilinear support. Measured: size 5 beats
+    # size 9 by ~1.8 dB at equal budget on 96^3 scenes (over-dilation
+    # reclassifies skippable segments as occupied); size 3 under-protects.
+    occ_r = max(5, min(mixed.shape) // 20) | 1
     occupancy = ndimage.maximum_filter(mixed, size=occ_r).astype(np.float32)
 
     if seg is not None:
@@ -291,23 +295,27 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     rho = jnp.where(T_in > 1e-3, rho, cfg.skip_floor * 0.5)
 
     # ---- fine placement + march (rho shared per S x S block; each ray
-    # keeps its own t bins)
-    if S > 1:
-        rho_full = jnp.repeat(jnp.repeat(rho, S, axis=0), S,
-                              axis=1)[:height, :width]
-    else:
-        rho_full = rho
-    t_bins = t0[..., None] + kk * (t1 - t0)[..., None]
+    # keeps its own t bins). The CDF inversion runs once per probe BLOCK in
+    # normalized ray coordinates s in [0,1] (bins are uniform in s), then
+    # maps affinely onto each ray's [t0, t1] — an S^2 saving on the one-hot
+    # contraction, exact by construction.
     u = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine
-    t_f = inverse_cdf_sample_mm(t_bins, rho_full, u)  # (H,W,Nf) monotone in u
+    # Importance-consistent per-sample dt (expected local spacing): realized
+    # neighbor spacing bleeds skipped-gap widths into content-run edges and
+    # costs ~9x composited MSE at equal budget on sparse scenes.
+    s_bins = jnp.broadcast_to(kk, rho.shape[:-1] + kk.shape)
+    s_f, ds_f = inverse_cdf_sample_mm(s_bins, rho, u,
+                                      return_bin_dt=True)  # (h,w,Nf)
+    if S > 1:
+        s_f = jnp.repeat(jnp.repeat(s_f, S, axis=0), S,
+                         axis=1)[:height, :width]
+        ds_f = jnp.repeat(jnp.repeat(ds_f, S, axis=0), S,
+                          axis=1)[:height, :width]
+    span = (t1 - t0)[..., None]
+    t_f = t0[..., None] + s_f * span
+    dt_f = ds_f * span
     pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
     pidx_f = (pos_f - bmin) / p.voxel_size
-    d = jnp.diff(t_f, axis=-1)
-    dt_f = jnp.concatenate([d[..., :1], 0.5 * (d[..., :-1] + d[..., 1:]),
-                            d[..., -1:]], axis=-1)
-    # Belt-and-braces: a negative spacing (numerically non-monotone t_f)
-    # would turn alpha into 1 - exp(+x) and explode the composite.
-    dt_f = jnp.maximum(dt_f, 0.0)
     C, T = _march_composite(mixed, pidx_f, dt_f, p, valid)
 
     # ---- stats: useful samples = fine samples in live segments.

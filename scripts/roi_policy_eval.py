@@ -46,23 +46,31 @@ def main(argv=None):
     print(f"[roi] scenes: {[s['name'] for s in scenes]} "
           f"backend={jax.default_backend()}")
 
-    # ---- train on the first tumor scene's train views
-    tr = scenes[0]
-    p = tr["params"]
-    views = [jnp.asarray(v) for v in roi_protocol.make_views(tr["radius"])]
+    # ---- train multi-scene on the benchmark scenes' TRAIN views
+    # (Methodology:50 "a small set of volumes (medical + non-medical)");
+    # held-out = the disjoint view set + the unseen tumor-b subject.
     R = args.train_res
-    refs, weights = [], []
-    for bv in views:
-        ref, _ = roi_policy.render_fixed(tr["mixed"], bv, p, R, R,
-                                         args.ref_steps)
-        refs.append(ref)
-        P_img, B_img = roi_policy.project_roi_maps(tr["P"], tr["B"], bv, p,
-                                                   R, R)
-        weights.append(roi_policy.roi_weight_map(P_img, B_img))
+
+    def scene_task(sc):
+        p_s = sc["params"]
+        vs = [jnp.asarray(v) for v in roi_protocol.make_views(sc["radius"])]
+        rs, ws = [], []
+        for bv in vs:
+            ref, _ = roi_policy.render_fixed(sc["mixed"], bv, p_s, R, R,
+                                             args.ref_steps)
+            rs.append(ref)
+            P_img, B_img = roi_policy.project_roi_maps(sc["P"], sc["B"], bv,
+                                                       p_s, R, R)
+            ws.append(roi_policy.roi_weight_map(P_img, B_img))
+        return roi_protocol.scene_tuple(sc), p_s, vs, rs, ws
+
+    tasks = [scene_task(sc) for sc in scenes[:4]]
+    (tr_sc, p, views, refs, weights) = tasks[0]
     pol, losses = roi_policy.train_policy(
-        jax.random.PRNGKey(0), roi_protocol.scene_tuple(tr), views, refs, p,
+        jax.random.PRNGKey(0), tr_sc, views, refs, p,
         R, R, steps=args.train_steps, n_coarse=args.n_coarse,
-        n_fine=budgets[len(budgets) // 2], weights=weights)
+        n_fine=budgets[len(budgets) // 2], weights=weights,
+        probe_stride=args.probe_stride, extra_scenes=tasks[1:])
     print(f"[roi] policy trained: loss {losses[0]:.2e} -> {losses[-1]:.2e}")
     out_dir = _pl.Path(args.out or
                        _pl.Path(__file__).resolve().parents[1] / "docs")
@@ -72,10 +80,12 @@ def main(argv=None):
                                  "n_coarse": args.n_coarse,
                                  "probe_stride": args.probe_stride})
 
-    # ---- sweep every scene, train and held-out views
+    # ---- sweep every scene, train and held-out views. The first four
+    # scenes are the showcase-plan benchmark; any extra (tumor-b) is the
+    # unseen-subject generalization check and does not vote on the bar.
     results = {"losses_first_last": [losses[0], losses[-1]], "scenes": {}}
     verdicts = []
-    for sc in scenes:
+    for i, sc in enumerate(scenes):
         for held in (False, True):
             vs = roi_protocol.make_views(sc["radius"], held_out=held)
             sweep = roi_protocol.pareto_sweep(
@@ -87,10 +97,12 @@ def main(argv=None):
             if not held:
                 v = roi_protocol.evaluate_success(sweep, tuned_budget=args.tuned_budget)
                 v["scene"] = sc["name"]
+                v["counts_toward_bar"] = i < 4
                 verdicts.append(v)
                 print(f"[roi] {tag}: speedup={v['speedup']:.2f}x "
-                      f"success={v['success']} (B1 n={v['tuned_n']})")
-    n_ok = sum(v["success"] for v in verdicts)
+                      f"success={v['success']} (B1 n={v['tuned_n']})"
+                      f"{'' if i < 4 else ' [unseen-subject check]'}")
+    n_ok = sum(v["success"] for v in verdicts if v["counts_toward_bar"])
     results["verdicts"] = verdicts
     results["success_bar"] = {"target": ">=1.8x at <=0.5 dB on >=3/4 scenes",
                               "scenes_passing": n_ok,
@@ -109,15 +121,17 @@ def main(argv=None):
              "speedup | pass | Pareto | equal-budget gain |",
              "|---|---|---|---|---|---|---|"]
     for v in verdicts:
+        name = v["scene"] + ("" if v["counts_toward_bar"]
+                             else " (unseen-subject check)")
         pareto = (f"{v.get('pareto_dominated', 0)}/{v.get('pareto_total', 0)}"
                   f"{' DOM' if v.get('pareto_dominant') else ''}")
         gain = f"{v.get('equal_budget_gain_db', 0.0):+.1f} dB"
         if v.get("policy_n") is None:
-            lines.append(f"| {v['scene']} | n={v['tuned_n']} | no point met "
+            lines.append(f"| {name} | n={v['tuned_n']} | no point met "
                          f"the bar | - | NO | {pareto} | {gain} |")
             continue
         lines.append(
-            f"| {v['scene']} | n={v['tuned_n']}, {v['tuned_ms']:.1f} ms | "
+            f"| {name} | n={v['tuned_n']}, {v['tuned_ms']:.1f} ms | "
             f"n={v['policy_n']}, {v['policy_ms']:.1f} ms, "
             f"{v['policy_wpsnr']:.1f} dB | {v['speedup']:.2f}x | "
             f"{'YES' if v['success'] else 'no'} | {pareto} | {gain} |")
