@@ -217,3 +217,36 @@ def test_smooth_step():
     s = jnp.linspace(-1, 1, 5)
     out = dr.smooth_step(s, 0.0, beta=50.0)
     assert float(out[0]) < 0.01 and float(out[-1]) > 0.99
+
+
+def test_inverse_cdf_mm_bin_dt():
+    """Importance-consistent per-sample dt: uniform mass reproduces the
+    fixed-step spacing exactly; concentrated mass gives the local expected
+    spacing in occupied bins, independent of skipped-gap widths."""
+    K, n = 8, 16
+    t_bins = jnp.linspace(0.0, 2.0, K + 1)[None]
+    u = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+
+    w_uni = jnp.ones((1, K))
+    t, dt = importance.inverse_cdf_sample_mm(t_bins, w_uni, u,
+                                             return_bin_dt=True)
+    np.testing.assert_allclose(np.asarray(dt), 2.0 / n, rtol=1e-4)
+    t_ref = importance.inverse_cdf_sample_mm(t_bins, w_uni, u)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=1e-6)
+
+    # All mass in bins 2+3 (t in [0.5, 1.0]): samples land there with the
+    # local spacing 0.5/n; the surrounding empty span does not bleed in.
+    w_sp = jnp.zeros((1, K)).at[0, 2:4].set(1.0)
+    t, dt = importance.inverse_cdf_sample_mm(t_bins, w_sp, u,
+                                             return_bin_dt=True)
+    t = np.asarray(t)[0]
+    assert (t >= 0.5 - 1e-4).all() and (t <= 1.0 + 1e-4).all()
+    np.testing.assert_allclose(np.asarray(dt)[0], 0.5 / n, rtol=1e-3)
+
+    # Near-zero-mass bins are capped at 2 * max(len, span/n), not unbounded.
+    w_eps = jnp.full((1, K), 1e-7).at[0, 0].set(1.0)
+    _, dt = importance.inverse_cdf_sample_mm(t_bins, w_eps, u,
+                                             return_bin_dt=True)
+    span = 2.0
+    cap = 2.0 * max(span / K, span / n)
+    assert float(np.max(np.asarray(dt))) <= cap + 1e-5
