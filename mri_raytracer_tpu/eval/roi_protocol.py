@@ -123,6 +123,27 @@ def _cloud_volume(shape, seed) -> np.ndarray:
     return (np.maximum(0.0, v - 0.42) / 0.58).astype(np.float32)
 
 
+def _noise_volume(shape, seed) -> np.ndarray:
+    """Thresholded multi-octave value noise (the showcase-plan's named Noise
+    scene: a procedural fractal-noise demo volume). Dense blobs with real
+    gaps — unlike ``_fbm_volume``, no concentric thin shells (those are the
+    ADVERSARIAL suite's deliberate sampler-killer, not part of the
+    reference's demo scene list)."""
+    rng = np.random.default_rng(seed)
+    g = np.stack(np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                             indexing="ij"), -1).astype(np.float32)
+    v = np.zeros(shape, np.float32)
+    for i in range(10):
+        k = rng.normal(0, 3.0 + 2.5 * i, 3).astype(np.float32)
+        ph = rng.uniform(0, 2 * np.pi)
+        v += np.cos((g * k).sum(-1) * np.pi + ph) / np.sqrt(i + 1.0)
+    v = (v - v.min()) / max(v.max() - v.min(), 1e-6)
+    c = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+    r2 = (((g - c) / np.float32(0.62)) ** 2).sum(-1)
+    v *= (r2 < 1.0).astype(np.float32)
+    return np.where(v > 0.55, v, 0.0).astype(np.float32)
+
+
 def build_scenes(shape=(96, 96, 80), include_medical=True,
                  alpha_scale: float = 4.0, suite: str = "showcase",
                  ) -> List[Dict]:
@@ -189,7 +210,7 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
         add_tumor("tumor-a", 0, 0.04)
     add("bonsai", _bonsai_volume(shape, 5), None)
     add("clouds", _cloud_volume(shape, 11), None)
-    add("noise", _fbm_volume(shape, 23, sharp=True), None)
+    add("noise", _noise_volume(shape, 23), None)
     if include_medical:
         add_tumor("tumor-b", 7, 0.04)  # unseen-subject check only
     return scenes
