@@ -517,11 +517,17 @@ class NeuralBratsRenderer:
                      for i, o in enumerate(order)]
         else:
             crops = [(0, n) for n in dims_perm]
-        key = (axis, tuple(crops))
+        import numpy as np
+
+        M = self.mods.shape[0]
+        # Blend settings are baked into the prepared volume — key on their
+        # VALUES (like BratsRenderer) or a weight change silently reuses the
+        # stale mix.
+        key = (axis, tuple(crops),
+               np.asarray(p.vol_enabled[:M]).tobytes(),
+               np.asarray(p.vol_weight[:M]).tobytes())
         if key not in self._prep:
             from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities
-
-            M = self.mods.shape[0]
             mixed = blend_modalities(self.mods, p.vol_enabled[:M],
                                      p.vol_weight[:M])
             mixed_s = sw._perm_volume(mixed, axis)
