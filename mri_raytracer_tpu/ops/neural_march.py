@@ -93,13 +93,13 @@ def _mlp_tail(layers, h):
 
 def _separable_first_layer_batched(layers, K: int, M: int, pos_an, pos_bn,
                                    z_n, inv_order):
-    """Batched-over-planes variant of ``_separable_first_layer``: pos_an,
-    pos_bn are (B, Op) normalized coords and z_n is (B,). Returns
-    (row (B,Op,H), col (B,Op,H), const (B,H), W1_int (M,H))."""
+    """Batched-over-planes variant of ``_separable_first_layer``: pos_an
+    (B, Oa) / pos_bn (B, Ob) normalized coords and z_n (B,). Returns
+    (row (B,Oa,H), col (B,Ob,H), const (B,H), W1_int (M,H))."""
     W1 = layers[0]["W"]
     b1 = layers[0]["b"]
     H = W1.shape[1]
-    B, Op = pos_an.shape
+    B = pos_an.shape[0]
 
     def axis_feat(t):  # (..., L) -> (..., L, 1+2K)
         if K == 0:
@@ -114,13 +114,13 @@ def _separable_first_layer_batched(layers, K: int, M: int, pos_an, pos_bn,
             rows.append(W1[3 + c * 2 * K: 3 + (c + 1) * 2 * K])
         return jnp.concatenate(rows, 0)  # (1+2K, H)
 
-    row = jnp.zeros((B, Op, H), W1.dtype)
-    col = jnp.zeros((B, Op, H), W1.dtype)
+    row = jnp.zeros((B, pos_an.shape[1], H), W1.dtype)
+    col = jnp.zeros((B, pos_bn.shape[1], H), W1.dtype)
     const = jnp.broadcast_to(b1, (B, H))
     for c in range(3):
         src = inv_order[c]
-        contrib = {0: z_n[:, None], 1: pos_an, 2: pos_bn}[src]  # (B, Op)|(B,1)
-        g = axis_feat(contrib) @ axis_slice(c)  # (B, Op|1, H)
+        contrib = {0: z_n[:, None], 1: pos_an, 2: pos_bn}[src]  # (B, O)|(B,1)
+        g = axis_feat(contrib) @ axis_slice(c)  # (B, O|1, H)
         if src == 0:
             const = const + g[:, 0]
         elif src == 1:
@@ -130,6 +130,61 @@ def _separable_first_layer_batched(layers, K: int, M: int, pos_an, pos_bn,
     W1_int = W1[3 + (3 * 2 * K if K > 0 else 0):]
     assert W1_int.shape[0] == M, (W1_int.shape, M)
     return row, col, const, W1_int
+
+
+def model_is_separable(model: ModelBundle) -> bool:
+    """True when the first layer decomposes per axis (plain MLP over
+    [coords | deterministic Fourier features | modalities])."""
+    return (model.cfg.kind == "mlp" and not model.cfg.aniso_features
+            and model.cfg.rff_dim == 0 and model.cfg.use_modalities)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "block"))
+def bake_labels(model: ModelBundle, params, modsz: jnp.ndarray,
+                block: int = 16) -> jnp.ndarray:
+    """All-MXU voxel-grid bake: (M, X, Y, Z) z-scored modalities ->
+    (X, Y, Z) int32 argmax labels, same convention as
+    ``eval.inference._predict_labels`` (coords index/(dim-1)*2-1).
+
+    At voxel positions the intensity features ARE the voxels (no resample)
+    and the coordinate features are separable per axis, so the whole bake is
+    the separable first layer + bf16 MXU tail over per-X-slice batches —
+    ~100x the generic chunked path, which makes bake-on-param-change
+    interactive (mode-1 rendering with a LIVE INR: the amortized in-march
+    overhead of ``docs/Goals.md:66``). Falls back to the generic path for
+    non-separable models.
+    """
+    if not model_is_separable(model):
+        from mri_raytracer_tpu.eval.inference import _predict_labels
+
+        return _predict_labels(model, params, modsz).astype(jnp.int32)
+    M, X, Y, Z = modsz.shape
+    K = model.cfg.fourier_freqs
+    norm = lambda i, d: (i / (d - 1.0)) * 2.0 - 1.0
+    ys = norm(jnp.arange(Y, dtype=jnp.float32), jnp.float32(Y))
+    zs = norm(jnp.arange(Z, dtype=jnp.float32), jnp.float32(Z))
+    xs = norm(jnp.arange(X, dtype=jnp.float32), jnp.float32(X))
+
+    pad = (-X) % block
+    n_blocks = (X + pad) // block
+
+    def block_fn(bi):
+        idx = jnp.clip(bi * block + jnp.arange(block), 0, X - 1)
+        row, col, const, W1_int = _separable_first_layer_batched(
+            params, K, M, jnp.broadcast_to(ys, (block, Y)),
+            jnp.broadcast_to(zs, (block, Z)), xs[idx], (0, 1, 2))
+        intens = jnp.moveaxis(modsz[:, idx], 0, -1)  # (B, Y, Z, M)
+        h = jax.nn.relu(row[:, :, None, :] + col[:, None, :, :]
+                        + const[:, None, None, :]
+                        + jnp.dot(intens.astype(jnp.bfloat16),
+                                  W1_int.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+                        ).astype(jnp.bfloat16)
+        logits = _mlp_tail(params, h.reshape(-1, h.shape[-1]))
+        return jnp.argmax(logits, -1).reshape(block, Y, Z).astype(jnp.int32)
+
+    out = jax.lax.map(block_fn, jnp.arange(n_blocks))
+    return out.reshape(-1, Y, Z)[:X]
 
 
 def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
@@ -444,7 +499,10 @@ class NeuralBratsRenderer:
     caching and content crop as ``render.brats.BratsRenderer``.
 
     Backends: 'fused' (TPU: predict_field + Pallas compositing kernel),
-    'scan' (portable XLA scan, ``render_brats_neural``), 'auto'.
+    'scan' (portable XLA scan, ``render_brats_neural``), 'rebake'
+    (all-MXU ``bake_labels`` re-run lazily on every ``set_params`` and
+    rendered as a mode-1 overlay — ~0 per-frame MLP overhead between param
+    changes), 'auto'.
     ``crop='content'|'none'``: the content crop is computed from mods|seg —
     INR predictions OUTSIDE that box are not rendered in 'content' mode
     (trained INRs predict background there; use 'none' for strict parity
@@ -468,6 +526,13 @@ class NeuralBratsRenderer:
         if backend == "auto":
             backend = "fused" if jax.default_backend() == "tpu" else "scan"
         self.backend = backend
+        self._inner = None
+        self._dirty = True
+        if backend == "rebake":
+            from mri_raytracer_tpu.render.brats import BratsRenderer
+
+            self._inner = BratsRenderer(mods_disp, seg, None, width=width,
+                                        height=height)
         occ = np.array(jnp.any(self.mods != 0.0, axis=0))
         if self.seg is not None:
             occ |= np.asarray(self.seg) != 0
@@ -503,8 +568,10 @@ class NeuralBratsRenderer:
 
     def set_params(self, params) -> None:
         """Swap INR weights (e.g. every few training steps) — no recompile,
-        no prep-cache invalidation (the field is recomputed per frame)."""
+        no prep-cache invalidation (the field is recomputed per frame; the
+        'rebake' backend re-bakes lazily at the next render)."""
         self.params = params
+        self._dirty = True
 
     def _prepare(self, axis: int, p):
         from mri_raytracer_tpu.render.brats import BratsRenderer
@@ -548,6 +615,12 @@ class NeuralBratsRenderer:
     def render(self, basis, p: BratsRenderParams) -> jnp.ndarray:
         basis_vec = basis.pack() if isinstance(basis, CameraBasis) else basis
         axis = sw.dominant_axis(basis)
+        if self.backend == "rebake":
+            if self._dirty:
+                self._inner.set_prediction(
+                    bake_labels(self.model, self.params, self.modsz))
+                self._dirty = False
+            return self._inner.render(basis, p)
         if self.backend != "fused":
             return render_brats_neural(self.mods, self.modsz, self.seg,
                                        self.model, self.params, basis, p,

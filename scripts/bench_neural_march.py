@@ -105,6 +105,18 @@ def main(argv=None):
     fps_neural = orbit_fps(lambda b: r_neural.render(b, p_np))
     print(f"[nm] neural backend: {r_neural.backend}", file=sys.stderr)
 
+    # Fast all-MXU voxel-grid re-bake (the amortized live-INR path): one
+    # bake per param change, mode-1 frames in between.
+    out = neural_march.bake_labels(model, params, zsc)
+    float(jnp.sum(out))  # scalar readback: block_until_ready can no-op
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = neural_march.bake_labels(model, params, zsc)
+    float(jnp.sum(out))
+    rebake_ms = (time.perf_counter() - t0) / 5 * 1000.0
+    print(f"[nm] fast voxel-grid re-bake: {rebake_ms:.1f} ms "
+          f"(generic bake path: {bake_s:.2f} s)", file=sys.stderr)
+
     ms = {k: 1000.0 / v for k, v in
           {"plain": fps_plain, "baked": fps_baked, "neural": fps_neural}.items()}
     overhead = ms["neural"] - ms["baked"]
@@ -116,7 +128,7 @@ def main(argv=None):
            "unit": "fps", "mlp_overhead_ms": round(overhead, 3),
            "baked_fps": round(fps_baked, 2), "plain_fps": round(fps_plain, 2),
            "bake_seconds": round(bake_s, 2), "params": n_params,
-           "size": S, "vol": args.vol}
+           "rebake_ms": round(rebake_ms, 2), "size": S, "vol": args.vol}
     print(json.dumps(rec))
     if args.write_doc:
         doc = _pl.Path(__file__).resolve().parents[1] / "docs" / "RESULTS_r2.md"

@@ -175,3 +175,43 @@ def test_fused_field_path_matches_scan(scene):
         disp, zsc, seg, model, params, b, p_off, W, H, out_res=O,
         pred_stride=S))
     assert np.abs(img_scan - img_scan_off).max() > 1e-3
+
+
+def test_bake_labels_matches_generic_inference(scene):
+    """All-MXU voxel-grid bake == the generic chunked predictor, separable
+    and non-separable (fallback) models alike."""
+    from mri_raytracer_tpu.eval.inference import _predict_labels
+
+    _, zsc, _ = scene
+    cfg = ModelConfig(hidden_dims=(16, 16), fourier_freqs=4, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(3))
+    assert neural_march.model_is_separable(model)
+    baked = np.asarray(neural_march.bake_labels(model, params, zsc))
+    ref = np.asarray(_predict_labels(model, params, zsc))
+    # bf16 hidden states can flip argmax on near-tie voxels only.
+    assert np.mean(baked != ref) < 5e-3
+    assert baked.shape == zsc.shape[1:]
+
+    cfg_s = ModelConfig(kind="siren", hidden_dims=(16,), num_classes=4)
+    siren = build_model(cfg_s, num_modalities=4)
+    sp = siren.init(jax.random.PRNGKey(4))
+    assert not neural_march.model_is_separable(siren)
+    baked_s = np.asarray(neural_march.bake_labels(siren, sp, zsc))
+    ref_s = np.asarray(_predict_labels(siren, sp, zsc))
+    np.testing.assert_array_equal(baked_s, ref_s)
+
+
+def test_rebake_backend_tracks_param_changes(scene):
+    disp, zsc, seg = scene
+    model, params0 = _const_class_model(1)
+    _, params2 = _const_class_model(2)
+    r = neural_march.NeuralBratsRenderer(disp, zsc, seg, model, params0,
+                                         width=48, height=48,
+                                         backend="rebake")
+    p = rp.default_render_params(SHAPE, show_seg=False, show_pred=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE))
+    img1 = np.asarray(r.render(cam.basis(), p))
+    r.set_params(params2)
+    img2 = np.asarray(r.render(cam.basis(), p))
+    assert np.abs(img1 - img2).max() > 1e-3  # overlay color changed
