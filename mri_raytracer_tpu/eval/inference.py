@@ -62,7 +62,14 @@ def predict_volume(model: ModelBundle, params, case_data, chunk: int = 131072,
         from scipy.ndimage import gaussian_filter
 
         mods = np.stack([gaussian_filter(m, sigma=gaussian_sigma) for m in mods])
-    pred = _predict_labels(model, params, jnp.asarray(mods), chunk=chunk)
+    from mri_raytracer_tpu.ops.neural_march import (bake_labels,
+                                                    model_is_separable)
+
+    if model_is_separable(model):
+        # All-MXU separable bake: 256^3 in ~12 ms vs ~100 s chunked.
+        pred = bake_labels(model, params, jnp.asarray(mods))
+    else:
+        pred = _predict_labels(model, params, jnp.asarray(mods), chunk=chunk)
     return np.asarray(pred), seg_true
 
 
