@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--n-coarse", type=int, default=48)
     ap.add_argument("--probe-stride", type=int, default=3)
     ap.add_argument("--tuned-budget", type=int, default=64)
+    ap.add_argument("--suite", default="showcase",
+                    choices=["showcase", "adversarial"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -42,7 +44,7 @@ def main(argv=None):
 
     shape = tuple(int(x) for x in args.shape.split(","))
     budgets = [int(x) for x in args.budgets.split(",")]
-    scenes = roi_protocol.build_scenes(shape)
+    scenes = roi_protocol.build_scenes(shape, suite=args.suite)
     print(f"[roi] scenes: {[s['name'] for s in scenes]} "
           f"backend={jax.default_backend()}")
 
