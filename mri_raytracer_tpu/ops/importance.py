@@ -16,6 +16,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _cdf_bin_index(t_bins: jnp.ndarray, weights: jnp.ndarray, u: jnp.ndarray,
+                   eps: float):
+    """Shared CDF construction + per-quantile bin index (the
+    non-differentiable 'locations' part). Returns (t_bins broadcast to
+    weights' batch shape, cdf (..., K+1), idx (..., J) clipped to bins).
+    The +eps keeps zero-mass bins from producing a degenerate CDF (see the
+    in-bin fraction clip at the call sites)."""
+    K = weights.shape[-1]
+    t_bins = jnp.broadcast_to(t_bins, weights.shape[:-1] + (K + 1,))
+    w = weights + eps
+    W = jnp.cumsum(w, axis=-1)
+    total = W[..., -1:]
+    cdf = jnp.concatenate([jnp.zeros_like(W[..., :1]), W], axis=-1) / total
+    idx = jnp.sum((cdf[..., None, :-1] <= u[..., :, None]).astype(jnp.int32),
+                  axis=-1) - 1  # (..., J)
+    return t_bins, cdf, jnp.clip(idx, 0, K - 1)
+
+
 def inverse_cdf_sample(t_bins: jnp.ndarray, weights: jnp.ndarray,
                        u: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """t_bins (..., K+1) bin edges, weights (..., K) >= 0, u (J,) in (0,1)
@@ -25,17 +43,7 @@ def inverse_cdf_sample(t_bins: jnp.ndarray, weights: jnp.ndarray,
     non-differentiable searchsorted (locations), while the interpolation
     itself stays differentiable in t_bins and weights.
     """
-    K = weights.shape[-1]
-    t_bins = jnp.broadcast_to(t_bins, weights.shape[:-1] + (K + 1,))
-    w = weights + eps
-    W = jnp.cumsum(w, axis=-1)
-    total = W[..., -1:]
-    cdf = jnp.concatenate([jnp.zeros_like(W[..., :1]), W], axis=-1) / total
-
-    # Bin index per quantile (stop-gradient through the discrete choice).
-    idx = jnp.sum((cdf[..., None, :-1] <= u[..., :, None]).astype(jnp.int32),
-                  axis=-1) - 1  # (..., J)
-    idx = jnp.clip(idx, 0, weights.shape[-1] - 1)
+    t_bins, cdf, idx = _cdf_bin_index(t_bins, weights, u, eps)
 
     c0 = jnp.take_along_axis(cdf, idx, axis=-1)
     c1 = jnp.take_along_axis(cdf, idx + 1, axis=-1)
@@ -72,15 +80,7 @@ def inverse_cdf_sample_mm(t_bins: jnp.ndarray, weights: jnp.ndarray,
     a PSNR plateau on a clouds scene).
     """
     K = weights.shape[-1]
-    t_bins = jnp.broadcast_to(t_bins, weights.shape[:-1] + (K + 1,))
-    w = weights + eps
-    W = jnp.cumsum(w, axis=-1)
-    total = W[..., -1:]
-    cdf = jnp.concatenate([jnp.zeros_like(W[..., :1]), W], axis=-1) / total
-
-    idx = jnp.sum((cdf[..., None, :-1] <= u[..., :, None]).astype(jnp.int32),
-                  axis=-1) - 1  # (..., J)
-    idx = jnp.clip(idx, 0, K - 1)
+    t_bins, cdf, idx = _cdf_bin_index(t_bins, weights, u, eps)
     onehot = (idx[..., None] ==
               jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
     vals = jnp.stack([cdf[..., :-1], cdf[..., 1:],

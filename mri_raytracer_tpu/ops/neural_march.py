@@ -207,24 +207,12 @@ def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
     Op = out_res // stride
     assert Op * stride == out_res, (out_res, stride)
     sw_mod = sw
-    bmin = sw_mod._permute3(p.vol_min, axis)
-    vox = sw_mod._permute3(p.voxel_size, axis)
     nk_g = nk_global if nk_global is not None else Nk
-    z_off = jnp.float32(0.0) if z_offset is None else \
-        jnp.asarray(z_offset, jnp.float32)
     n_planes = Nk + 1
 
-    m = jnp.arange(n_planes, dtype=jnp.float32)
-    z = jnp.where(geom.flip, (n_planes - 1) - m, m)  # local slice index
-    z_glob = z + z_off
-    w_k = bmin[0] + z_glob * vox[0]
-    lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
-    off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1] \
-        - geom.a_off
-    sc_a = lam * geom.da / vox[1]
-    off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2] \
-        - geom.b_off
-    sc_b = lam * geom.db / vox[2]
+    # Shared crop/slab plane-affine contract with the compositing kernel.
+    z, z_glob, _, off_a, sc_a, off_b, sc_b = sw.sweep_plane_affines(
+        geom, p, axis, n_planes, z_offset=z_offset)
     zi = jnp.clip(z, 0.0, Nk - 1).astype(jnp.int32)
 
     acl, ach, _, aml, amh = sw_mod._geom_bounds(geom, 0, Na)
@@ -238,8 +226,7 @@ def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
     nb_gf = jnp.where(geom.nb_g < 0, jnp.float32(Nb), geom.nb_g)
     dims_perm_g = jnp.stack([jnp.float32(nk_g), na_gf, nb_gf])
 
-    separable = (model.cfg.kind == "mlp" and not model.cfg.aniso_features
-                 and model.cfg.rff_dim == 0 and model.cfg.use_modalities)
+    separable = model_is_separable(model)
     K = model.cfg.fourier_freqs
     iis = jnp.arange(Op, dtype=jnp.float32) * stride
 
@@ -333,8 +320,7 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     # Separable fast path: plain MLP with deterministic Fourier features
     # (the reference's default architecture). Other models use the generic
     # per-sample apply.
-    separable = (model.cfg.kind == "mlp" and not model.cfg.aniso_features
-                 and model.cfg.rff_dim == 0 and model.cfg.use_modalities)
+    separable = model_is_separable(model)
     K = model.cfg.fourier_freqs
     dims_xyz_s = jnp.stack([dims_perm[inv_order[0]], dims_perm[inv_order[1]],
                             dims_perm[inv_order[2]]])
@@ -526,13 +512,26 @@ class NeuralBratsRenderer:
         if backend == "auto":
             backend = "fused" if jax.default_backend() == "tpu" else "scan"
         self.backend = backend
+        base_res = int(sweep_res or max(width, height))
+        if backend != "rebake" and (base_res % self.stride
+                                    or 128 % self.stride):
+            # The fused path shrinks out_res to 128-multiples under in-plane
+            # crops, so the stride must divide both the base resolution and
+            # 128 — checked here so bad combinations fail at construction,
+            # not at first render.
+            raise ValueError(
+                f"pred_stride={pred_stride} must divide sweep resolution "
+                f"{base_res} and 128 (use 1, 2, 4 or 8)")
         self._inner = None
         self._dirty = True
         if backend == "rebake":
             from mri_raytracer_tpu.render.brats import BratsRenderer
 
+            # NOTE the inner renderer applies its own content crop (refreshed
+            # on every re-bake to include pred content); ``crop='none'`` only
+            # affects the fused/scan field paths.
             self._inner = BratsRenderer(mods_disp, seg, None, width=width,
-                                        height=height)
+                                        height=height, sweep_res=sweep_res)
         occ = np.array(jnp.any(self.mods != 0.0, axis=0))
         if self.seg is not None:
             occ |= np.asarray(self.seg) != 0

@@ -258,12 +258,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     """
     Nk, Na, Nb = mixed_s.shape
     assert pred_s is None or pred_field is None
-    bmin = sw._permute3(p.vol_min, axis)
-    vox = sw._permute3(p.voxel_size, axis)
     n_planes = Nk + 1
     nk_g = nk_global if nk_global is not None else Nk
-    z_off = jnp.float32(0.0) if z_offset is None else \
-        jnp.asarray(z_offset, jnp.float32)
     has_seg = seg_s is not None
     has_pred = pred_s is not None or pred_field is not None
     if pred_field is not None:
@@ -290,18 +286,10 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             tile_i = cand
             break
 
-    # ---------------- per-plane geometry in sweep order (XLA)
-    m = jnp.arange(n_planes, dtype=jnp.float32)
-    z = jnp.where(geom.flip, (n_planes - 1) - m, m)  # local slice index
-    z_glob = z + z_off
-    w_k = bmin[0] + z_glob * vox[0]
-    lam = (w_k - geom.e[0]) / (geom.w_base - geom.e[0])
-    off_a = (geom.e[1] * (1.0 - lam) + lam * geom.a0 - bmin[1]) / vox[1] \
-        - geom.a_off
-    sc_a = lam * geom.da / vox[1]
-    off_b = (geom.e[2] * (1.0 - lam) + lam * geom.b0 - bmin[2]) / vox[2] \
-        - geom.b_off
-    sc_b = lam * geom.db / vox[2]
+    # ---------------- per-plane geometry in sweep order (XLA; shared
+    # contract with neural_march.predict_field)
+    z, z_glob, lam, off_a, sc_a, off_b, sc_b = sw.sweep_plane_affines(
+        geom, p, axis, n_planes, z_offset=z_offset)
     acl, ach, acn, aml, amh = sw._geom_bounds(geom, 0, Na)
     bcl, bch, bcn, bml, bmh = sw._geom_bounds(geom, 1, Nb)
     # Channel 5: plane ownership — a slab owns its closing plane only when

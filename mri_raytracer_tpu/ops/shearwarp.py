@@ -173,6 +173,27 @@ def _inplane_affine(geom: SweepGeom, in_axis: int, bmin_a, vox_a, w_k):
     return off, sc, lam
 
 
+def sweep_plane_affines(geom: SweepGeom, p, axis: int, n_planes: int,
+                        z_offset=None):
+    """Per-plane sweep affines for ALL ``n_planes`` planes in SWEEP order
+    (flip applied): returns (z local slice index, z_glob, lam, off_a, sc_a,
+    off_b, sc_b), each (n_planes,). Single source of truth for the
+    crop/slab contract shared by the fused Pallas compositing kernel and
+    the neural-march prediction field — the field is composited by the
+    kernel, so the two MUST agree bit-exactly."""
+    bmin = _permute3(p.vol_min, axis)
+    vox = _permute3(p.voxel_size, axis)
+    z_off = jnp.float32(0.0) if z_offset is None else \
+        jnp.asarray(z_offset, jnp.float32)
+    m = jnp.arange(n_planes, dtype=jnp.float32)
+    z = jnp.where(geom.flip, (n_planes - 1) - m, m)  # local slice index
+    z_glob = z + z_off
+    w_k = bmin[0] + z_glob * vox[0]
+    off_a, sc_a, lam = _inplane_affine(geom, 0, bmin[1], vox[1], w_k)
+    off_b, sc_b, _ = _inplane_affine(geom, 1, bmin[2], vox[2], w_k)
+    return z, z_glob, lam, off_a, sc_a, off_b, sc_b
+
+
 def hat_matrix(off, sc, n_in: int, out_res: int, clamp_lo=0.0, clamp_hi=None,
                mask_lo=0.0, mask_hi=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(O, N) trilinear hat weights + (O,) inside-box mask for positions
