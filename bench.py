@@ -39,7 +39,10 @@ def main() -> None:
 
     SIZE = 1024
     VOL = (256, 256, 256)
-    WARMUP, ITERS, BATCHES = 4, 15, 5  # median over batches rides out tunnel noise
+    # Median over batches rides out tunnel noise; the long warmup matters —
+    # the first post-compile batch consistently measures ~20% slow until the
+    # dispatch pipeline settles.
+    WARMUP, ITERS, BATCHES = 15, 15, 5
 
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
