@@ -42,7 +42,7 @@ def main() -> None:
     # Median over batches rides out tunnel noise; the long warmup matters —
     # the first post-compile batch consistently measures ~20% slow until the
     # dispatch pipeline settles.
-    WARMUP, ITERS, BATCHES = 15, 15, 5
+    WARMUP, ITERS, BATCHES = 15, 15, 7
 
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
