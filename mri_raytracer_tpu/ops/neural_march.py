@@ -291,7 +291,7 @@ def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
 def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
                         model: ModelBundle, axis: int, width: int,
                         height: int, out_res: int, has_seg: bool,
-                        pred_stride: int = 1):
+                        pred_stride: int = 1, geom=None, field=None):
     basis = unpack_basis(basis_vec)
     M = mods_disp.shape[0]
     mixed = blend_modalities(mods_disp, p.vol_enabled[:M], p.vol_weight[:M])
@@ -299,14 +299,11 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     modsz_s = jnp.stack([sw._perm_volume(mods_z[m], axis) for m in range(M)])
     seg_s = sw._perm_volume(seg, axis) if has_seg else None
     Nk, Na, Nb = mixed_s.shape
-    geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, out_res)
+    if geom is None:
+        geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, out_res,
+                                 frustum_wh=(width, height))
     bmin = sw._permute3(p.vol_min, axis)
     vox = sw._permute3(p.voxel_size, axis)
-    dims_perm = jnp.array([Nk, Na, Nb], jnp.float32)
-    # Map permuted index coords back to the volume's (x, y, z) order for the
-    # INR's normalized-coordinate convention (index/(dim-1)*2-1, reference
-    # ``sample_batch``): inverse permutation of (k, a, b).
-    inv_order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}[axis]
 
     n_planes = Nk + 1
     near_t = jnp.maximum(p.near, 0.0)
@@ -315,18 +312,24 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     dt = geom.dt_map
     show_pred = jnp.where(p.show_pred > 0, 1.0, 0.0)
     show_seg = jnp.where(p.show_seg > 0, 1.0, 0.0)
+    # First-segment dt correction (see shearwarp.entry_ratio_map).
+    qfac = jnp.abs(geom.w_base - geom.e[0]) / jnp.maximum(vox[0], 1e-6)
+    r_map = sw.entry_ratio_map(geom, near_t, dt)
 
-    ii = jnp.arange(out_res, dtype=jnp.float32)
-    # Separable fast path: plain MLP with deterministic Fourier features
-    # (the reference's default architecture). Other models use the generic
-    # per-sample apply.
-    separable = model_is_separable(model)
-    K = model.cfg.fourier_freqs
-    dims_xyz_s = jnp.stack([dims_perm[inv_order[0]], dims_perm[inv_order[1]],
-                            dims_perm[inv_order[2]]])
+    # Mode-2 prediction labels for ALL planes via the SAME all-MXU field
+    # pass the fused Pallas path consumes (``predict_field``) — one shared
+    # implementation, so scan and fused overlays are bit-identical and any
+    # residual scan/kernel difference is pure compositing arithmetic.
+    # (Callers may inject a precomputed geom+field — parity tests use this
+    # to compare compositors under bit-identical inputs: geometry built in
+    # two different jit programs differs at ~1e-5, which is enough to flip
+    # argmax labels on near-tie logits.)
+    if field is None:
+        field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
+                              pred_stride)
 
     def body(carry, m):
-        C, T = carry
+        C, T, started = carry
         mm = jnp.where(geom.flip, n_planes - 1 - m, m)
         z = mm.astype(jnp.float32)
         zq = jnp.clip(z, 0.0, Nk - 1.001)
@@ -340,39 +343,23 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
         Wa, mask_a = sw.hat_matrix(off_a, sc_a, Na, out_res)
         Wb, mask_b = sw.hat_matrix(off_b, sc_b, Nb, out_res)
 
-        def _resample_with(vol_s, Wa_, Wb_):
-            sl = ((1.0 - fz) * jax.lax.dynamic_index_in_dim(vol_s, z0, 0, False)
-                  + fz * jax.lax.dynamic_index_in_dim(vol_s, z1, 0, False))
-            t1_ = jnp.dot(Wa_.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-            return jnp.dot(t1_.astype(jnp.bfloat16), Wb_.T.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-
-        def resample(vol_s):
-            return _resample_with(vol_s, Wa, Wb)
-
-        if pred_stride > 1:
-            # Stride-S grid: pos(iS) = off + i * (S * sc).
-            Wa_p, _ = sw.hat_matrix(off_a, sc_a * pred_stride, Na,
-                                    out_res // pred_stride)
-            Wb_p, _ = sw.hat_matrix(off_b, sc_b * pred_stride, Nb,
-                                    out_res // pred_stride)
-        else:
-            Wa_p, Wb_p = None, None
-
-        def resample_p(vol_s):
-            if pred_stride == 1:
-                return resample(vol_s)
-            return _resample_with(vol_s, Wa_p, Wb_p)
-
-        v = resample(mixed_s)
+        sl = ((1.0 - fz) * jax.lax.dynamic_index_in_dim(mixed_s, z0, 0, False)
+              + fz * jax.lax.dynamic_index_in_dim(mixed_s, z1, 0, False))
+        t1_ = jnp.dot(Wa.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        v = jnp.dot(t1_.astype(jnp.bfloat16), Wb.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
         inplane = mask_a[:, None] * mask_b[None, :]
         t_k = lam * geom.vmag
-        active = (inplane > 0.0) & (t_k >= near_t) & (t_k <= far_t) & (T > 0.01)
+        g = lam * qfac - r_map
+        active = (inplane > 0.0) & (t_k >= near_t) & (t_k <= far_t) \
+            & (T > 0.01) & sw.entry_active(g, r_map)
         act = active.astype(jnp.float32)
 
+        scale, started = sw.entry_correction(g, act, started)
+        dt_e = dt * scale
         val = sw.transfer_function(v, p.ww, p.wl, p.gamma)
-        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt)) * act
+        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt_e)) * act
         C, T = sw._composite(C, T, val[..., None], a)
 
         if has_seg:
@@ -381,55 +368,26 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             lab = sw._nearest_resample(seg_s, zn, Wan, Wbn)
             rgba = sw._lut_rgba(lab, p.lut)
-            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt)) * act * show_seg
+            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt_e)) * act * show_seg
             C, T = sw._composite(C, T, rgba[..., :3], aS)
 
-        # --- fused INR evaluation at the crossing positions (mode 2).
-        # The prediction feeds a NEAREST-sampled LUT overlay, so it may be
-        # evaluated on a stride-S in-plane grid and replicated (pred_stride
-        # > 1): quarters the per-plane MLP work at S=2 while the intensity
-        # compositing stays full-resolution.
+        # --- mode-2 INR overlay: plane m's precomputed stride-S label
+        # field (sweep order matches the scan index m), nearest-replicated
+        # to full resolution — exactly the fused kernel's floor(i/S)
+        # row/column upsample.
         S = pred_stride
-        Op = out_res // S
-        iis = ii[::S]
-        intens = jnp.stack([resample_p(modsz_s[mi]) for mi in range(M)], -1)
-        pos_a = off_a + iis * sc_a  # (Op,) permuted index coords
-        pos_b = off_b + iis * sc_b
-        if separable:
-            # Normalized per-axis coordinates; the (k, a, b) sources map to
-            # (const, row, col) contributions of the first layer.
-            norm = lambda t, d: (t / (d - 1.0)) * 2.0 - 1.0
-            dk, da_, db_ = dims_perm[0], dims_perm[1], dims_perm[2]
-            row, col, const, W1_int = _separable_first_layer(
-                params, K, M, norm(pos_a, da_), norm(pos_b, db_),
-                norm(z, dk), inv_order, Op)
-            h = jax.nn.relu(row[:, None, :] + col[None, :, :] + const
-                            + jnp.dot(intens.astype(jnp.bfloat16),
-                                      W1_int.astype(jnp.bfloat16),
-                                      preferred_element_type=jnp.float32)
-                            ).astype(jnp.bfloat16)
-            logits = _mlp_tail(params, h.reshape(-1, h.shape[-1]))
-        else:
-            idx_k = jnp.broadcast_to(z, (Op, Op))
-            idx_a = jnp.broadcast_to(pos_a[:, None], (Op, Op))
-            idx_b = jnp.broadcast_to(pos_b[None, :], (Op, Op))
-            perm_idx = (idx_k, idx_a, idx_b)
-            xyz = jnp.stack([perm_idx[inv_order[0]], perm_idx[inv_order[1]],
-                             perm_idx[inv_order[2]]], axis=-1)
-            coords = (xyz / (dims_xyz_s - 1.0)) * 2.0 - 1.0
-            logits = model.apply(params, coords.reshape(-1, 3),
-                                 intens.reshape(-1, M))
-        pred = jnp.argmax(logits, -1).reshape(Op, Op)
+        pred = jax.lax.dynamic_index_in_dim(field, m, 0, False)
         if S > 1:
             pred = jnp.repeat(jnp.repeat(pred, S, axis=0), S, axis=1)
         rgba = sw._lut_rgba(pred.astype(jnp.float32), p.lut)
-        aP = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * show_pred
+        aP = (1.0 - jnp.exp(-rgba[..., 3] * dt_e * 1.5)) * act * show_pred
         C, T = sw._composite(C, T, rgba[..., :3], aP)
-        return (C, T), None
+        return (C, T, started), None
 
     C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
     T0 = jnp.ones((out_res, out_res), jnp.float32)
-    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes))
+    S0 = jnp.zeros((out_res, out_res), jnp.float32)
+    (C, T, _), _ = jax.lax.scan(body, (C0, T0, S0), jnp.arange(n_planes))
     return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color)
 
 
@@ -464,7 +422,8 @@ def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
     k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
     content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
     geom = sw.sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
-                             content_lo, content_hi)
+                             content_lo, content_hi,
+                             frustum_wh=(width, height))
     field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
                           stride, z_offset=z_offset, nk_global=nk_global,
                           block=block)
@@ -579,7 +538,7 @@ class NeuralBratsRenderer:
         order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
         dims_perm = [int(self.mods.shape[1 + o]) for o in order]
         if crop_ok:
-            crops = [BratsRenderer._crop32(*self._bbox[o], dims_perm[i])
+            crops = [BratsRenderer._crop16(*self._bbox[o], dims_perm[i])
                      for i, o in enumerate(order)]
         else:
             crops = [(0, n) for n in dims_perm]
@@ -661,7 +620,8 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
                         params, basis: CameraBasis, p: BratsRenderParams,
                         width: int = 512, height: int = 512,
                         out_res: Optional[int] = None,
-                        pred_stride: int = 1) -> jnp.ndarray:
+                        pred_stride: int = 1, geom=None,
+                        field=None) -> jnp.ndarray:
     """Mode-2 render: intensity + GT seg + LIVE INR prediction overlay.
 
     mods_disp: display-normalized volumes (percentile) for the emission;
@@ -676,4 +636,5 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
     return _render_neural_axis(
         mods_disp, mods_zscore, seg if seg is not None else zeros, params,
         basis.pack() if isinstance(basis, CameraBasis) else basis, p, model,
-        axis, width, height, out_res, seg is not None, pred_stride)
+        axis, width, height, out_res, seg is not None, pred_stride,
+        geom=geom, field=field)

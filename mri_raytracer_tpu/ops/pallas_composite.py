@@ -54,10 +54,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
     # floor(i/S) one-hot matmul instead of the volume-affine nearest weights.
     Op = out_res // field_stride if field_stride else 0
     def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
-               vmag_ref, dt_ref, out_ref,
+               vmag_ref, dt_ref, r_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
-               t_ref, alive_ref, sem_ref, semn_ref, semp_ref):
-        # pp_ref (SMEM): (n_planes, 6) = off_a, sc_a, off_b, sc_b, lam, z
+               t_ref, started_ref, alive_ref, sem_ref, semn_ref, semp_ref):
+        # pp_ref (SMEM): (n_planes, 7) = off_a, sc_a, off_b, sc_b, lam, own, q
+        # r_ref: per-pixel march-start position in plane units (see
+        # shearwarp.entry_ratio_map) — the first-segment dt correction.
         # sc_ref (SMEM): (16,) scalars; lut_ref (SMEM): (8, 4)
         ti = pl.program_id(0)
         tj = pl.program_id(1)
@@ -66,6 +68,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         lg_ref[:] = jnp.zeros_like(lg_ref)
         lb_ref[:] = jnp.zeros_like(lb_ref)
         t_ref[:] = jnp.ones_like(t_ref)
+        started_ref[:] = jnp.zeros_like(started_ref)
         alive_ref[0] = jnp.int32(1)
 
         # Column iota (tile_i, 1): positions are constant along the Na axis,
@@ -141,6 +144,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             sc_b = pp_ref[m, 3]
             lam = pp_ref[m, 4]
             own = pp_ref[m, 5]  # slab plane ownership (1.0 full volume)
+            q_m = pp_ref[m, 6]  # plane position in dt units (= t_k / dt)
 
             # Scalar plane/tile culling: skip the whole plane when this
             # tile's row/column footprint misses the content box (leading
@@ -177,16 +181,28 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                             preferred_element_type=jnp.float32)  # (O, tile_j)
 
                 T = t_ref[:]
-                act = mask_a * mask_b * own * (T > 0.01).astype(jnp.float32)
+                # Pre-entry gate + first-segment correction (the per-ray
+                # 'started' form of shearwarp.entry_correction: the FIRST
+                # active plane extends its dt by g = q - r, keeping the
+                # march length continuous in r under fp noise).
+                g = q_m - r_ref[:]
+                pre_ok = ((g >= -1e-3) | (r_ref[:] >= 1e37)) \
+                    .astype(jnp.float32)
+                act = mask_a * mask_b * own * pre_ok \
+                    * (T > 0.01).astype(jnp.float32)
                 if use_clip:
                     t_k = lam * vmag_ref[:]
                     act = act * ((t_k >= near)
                                  & (t_k <= far)).astype(jnp.float32)
 
+                first = act * (1.0 - started_ref[:])
+                dt_e = dt * (1.0 + jnp.clip(g, 0.0, 2.0)
+                             * (g < 2.0).astype(jnp.float32) * first)
+                started_ref[:] = jnp.maximum(started_ref[:], act)
                 val = jnp.clip((v - lo) * inv_ww, 0.0, 1.0)
                 if use_gamma:
                     val = jnp.power(val, gamma)
-                aI = (1.0 - jnp.exp(-val * ia * dt)) * act
+                aI = (1.0 - jnp.exp(-val * ia * dt_e)) * act
                 cg_ref[:] = cg_ref[:] + aI * T * val
                 T = T * (1.0 - aI)
 
@@ -208,7 +224,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                         r = jnp.where(sel, lut_ref[c, 0], r)
                         g = jnp.where(sel, lut_ref[c, 1], g)
                         bl = jnp.where(sel, lut_ref[c, 2], bl)
-                    aS = (1.0 - jnp.exp(-a_lab * dt * rate[0])) * act * rate[1]
+                    aS = (1.0 - jnp.exp(-a_lab * dt_e * rate[0])) * act * rate[1]
                     w = aS * T
                     lr_ref[:] = lr_ref[:] + w * r
                     lg_ref[:] = lg_ref[:] + w * g
@@ -275,14 +291,15 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # of HBM at 1024^2, cheap next to the VPU work saved).
     tile_j = out_res
     stream_bytes = 2 * (2 * Na + na_pred) * tile_j * 2  # bf16 double buffers
-    # Per-program VMEM: 5 f32 accumulators + the pipeline's double-buffered
-    # blocks (vmag, dt in; the (4, ti, tj) out) — 5 + 2*(2 + 4) = 17 f32
-    # planes of (tile_i, tile_j) — plus the stream buffers.
+    # Per-program VMEM: 6 f32 accumulators (C gray, 3x label, T, started) +
+    # the pipeline's double-buffered blocks (vmag, dt, r in; the (4, ti, tj)
+    # out) — 6 + 2*(3 + 4) = 20 f32 planes of (tile_i, tile_j) — plus the
+    # stream buffers.
     budget = 13 * 2 ** 20
     tile_i = 8
     for cand in range(out_res, 7, -8):
         if out_res % cand == 0 and \
-                17 * 4 * cand * tile_j + stream_bytes <= budget:
+                20 * 4 * cand * tile_j + stream_bytes <= budget:
             tile_i = cand
             break
 
@@ -296,7 +313,14 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # it holds the volume end (matches shearwarp slab semantics).
     own = jnp.where(z < Nk - 1e-6, 1.0,
                     jnp.where(z_glob >= nk_g - 1e-6, 1.0, 0.0))
-    pp = jnp.stack([off_a, sc_a, off_b, sc_b, lam, own], axis=-1)  # (K, 6)
+    # Plane position in per-ray dt units: t_k/dt = lam * |w_base - e_k|/vox_k
+    # (vmag cancels, so it is a per-plane scalar) — with the per-pixel
+    # march-start map r this drives the first-segment dt correction.
+    vox_k = sw._permute3(p.voxel_size, axis)[0]
+    qfac = jnp.abs(geom.w_base - geom.e[0]) / jnp.maximum(vox_k, 1e-6)
+    pp = jnp.stack([off_a, sc_a, off_b, sc_b, lam, own,
+                    lam * qfac], axis=-1)  # (K, 7)
+    r_map = sw.entry_ratio_map(geom, jnp.maximum(p.near, 0.0), geom.dt_map)
 
     # ---------------- stage 1: b-axis halves, bf16 (XLA batched einsums).
     # Supersample == 1 => planes at integer slice indices: one take in sweep
@@ -343,6 +367,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pl.BlockSpec(memory_space=pl.ANY),  # t1pb
             pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # vmag
             pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # dt
+            pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # r
         ],
         out_specs=pl.BlockSpec((4, tile_i, tile_j),
                                lambda i, j, *s: (0, i, j)),
@@ -355,6 +380,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L g
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L b
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # T
+            pltpu.VMEM((tile_i, tile_j), jnp.float32),  # started (entry corr)
             pltpu.SMEM((1,), jnp.int32),  # alive (early-termination flag)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -369,7 +395,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         grid_spec=grid_spec,
         interpret=interpret,
     )(pp, scalars, p.lut.astype(jnp.float32), t1b, t1nb, t1pb,
-      geom.vmag, geom.dt_map)
+      geom.vmag, geom.dt_map, r_map)
     C = jnp.moveaxis(out[:3], 0, -1)
     T = out[3]
     return C, T

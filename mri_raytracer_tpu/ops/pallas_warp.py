@@ -97,23 +97,21 @@ def _make_warp_kernel(win_i: int, win_j: int, group: int, n_groups: int):
     return _warp_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
-def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
-                height: int, width: int,
-                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """C3 (3, O, O) channels-major intermediate; i_map/j_map (H, W) source
-    coordinates. Returns (out (H, W, 3), fits () bool). ``out`` is valid only
-    where ``fits`` (caller falls back otherwise)."""
-    O = C3.shape[1]
+def warp_fit_starts(i_map: jnp.ndarray, j_map: jnp.ndarray, O: int,
+                    height: int, width: int):
+    """XLA-side per-tile footprint analysis: returns ``(it, jt, starts,
+    fits)`` — tile-flattened maps, aligned DMA start offsets, and whether
+    EVERY tile's source footprint fits the kernel window. Callers must gate
+    ``warp_pallas_exec`` on ``fits`` (``lax.cond``), so a non-fitting frame
+    never executes the kernel at all — running it unconditionally and
+    discarding the result through the cond was observed to corrupt the
+    surrounding program on TPU when another Pallas kernel (the fused
+    compositor) lives in the same graph."""
     win_i = min(WIN_I, O)
     win_j = min(WIN_J, O)
     nTi = height // TILE_I
     nTj = width // TILE_J
     nT = nTi * nTj
-    # Blocks need sublane divisibility by 8 (or the full array dimension).
-    group = 8 if nT % 8 == 0 else nT
-    assert nT <= 8 or nT % 8 == 0, f"unsupported tile count {nT}"
-    n_groups = nT // group
 
     def tiles(m):
         """(H, W) -> (nT, PIX): per-tile row-major pixel flattening."""
@@ -136,6 +134,24 @@ def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
     si = (jnp.clip(imin, 0, max(O - win_i, 0)).astype(jnp.int32) // 8) * 8
     sj = (jnp.clip(jmin, 0, max(O - win_j, 0)).astype(jnp.int32) // 128) * 128
     starts = jnp.stack([si, sj], axis=-1)  # (nT, 2)
+    return it, jt, starts, fits
+
+
+def warp_pallas_exec(C3: jnp.ndarray, it: jnp.ndarray, jt: jnp.ndarray,
+                     starts: jnp.ndarray, height: int, width: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """The warp kernel proper, over ``warp_fit_starts`` outputs. Only valid
+    (and only safe to execute) when that analysis returned fits=True."""
+    O = C3.shape[1]
+    win_i = min(WIN_I, O)
+    win_j = min(WIN_J, O)
+    nTi = height // TILE_I
+    nTj = width // TILE_J
+    nT = nTi * nTj
+    # Blocks need sublane divisibility by 8 (or the full array dimension).
+    group = 8 if nT % 8 == 0 else nT
+    assert nT <= 8 or nT % 8 == 0, f"unsupported tile count {nT}"
+    n_groups = nT // group
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -160,4 +176,18 @@ def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
     # Reassemble tile-flattened pixels -> (H, W, 3) on the XLA side.
     out = (out.reshape(3, nTi, nTj, TILE_I, TILE_J)
            .transpose(1, 3, 2, 4, 0).reshape(height, width, 3))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
+                height: int, width: int,
+                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience/test wrapper: analysis + unconditional kernel execution.
+    Returns (out (H, W, 3), fits () bool); ``out`` is valid only where
+    ``fits``. Production callers use ``warp_fit_starts`` +
+    ``warp_pallas_exec`` under ``lax.cond`` instead (see warp_fit_starts)."""
+    O = C3.shape[1]
+    it, jt, starts, fits = warp_fit_starts(i_map, j_map, O, height, width)
+    out = warp_pallas_exec(C3, it, jt, starts, height, width, interpret)
     return out, fits

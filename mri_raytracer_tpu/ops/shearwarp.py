@@ -76,6 +76,7 @@ class SweepGeom(NamedTuple):
     b_off: jnp.ndarray = 0.0  # ()
     na_g: jnp.ndarray = -1.0  # () global a dim (-1: use the local dim)
     nb_g: jnp.ndarray = -1.0  # ()
+    t_entry: jnp.ndarray = -1.0  # (O, O) ray-param of box entry (-1: off)
 
 
 def _crop_bounds(off_g, n_g, n_local: int):
@@ -101,12 +102,22 @@ def _perm_volume(vol: jnp.ndarray, axis: int) -> jnp.ndarray:
 def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
                    dims_perm: Tuple[int, int, int], axis: int,
                    out_res: int, content_lo=None,
-                   content_hi=None) -> SweepGeom:
+                   content_hi=None,
+                   frustum_wh: Optional[Tuple[int, int]] = None) -> SweepGeom:
     """``dims_perm`` are the GLOBAL permuted dims. ``content_lo``/``hi``
     (traced (3,) index-unit bounds, default the full box) define the content
     box whose eye-projection sets the intermediate extent and base plane —
     rays are spent only on the occupied region (exact whenever voxels outside
-    the content box are empty and transfer(0) == 0)."""
+    the content box are empty and transfer(0) == 0).
+
+    ``frustum_wh`` (static (width, height)): bound the intermediate extent by
+    the SCREEN FRUSTUM's footprint on the base plane intersected with the
+    content projection. Without it the content projection is clamped to a
+    fixed multiple of the box — which CUTS real content at near-diagonal
+    views (near-plane content legitimately projects up to ~3.4x the box
+    from the eye; the clamp produced a black wedge of missing content worth
+    ~8 dB at the worst pose). Rays outside the screen never matter, so the
+    frustum bbox is the principled bound."""
     Nk, Na, Nb = dims_perm
     bmin = _permute3(p.vol_min, axis)
     vox = _permute3(p.voxel_size, axis)
@@ -123,8 +134,9 @@ def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
     w_base = jnp.where(use_hi, w_hi, w_lo)
 
     # Intermediate extent: projections of the 8 content-box corners from the
-    # eye onto the base plane, clamped to 3x the box (guards rays nearly
-    # parallel to the slice planes).
+    # eye onto the base plane (the corner hull contains every content
+    # point's projection by convexity — the eye is outside the k-slab for
+    # any orbit pose, so no corner projects through infinity).
     ca = bmin[1] + vox[1] * jnp.array([c_lo[1], c_hi[1]])
     cb = bmin[2] + vox[2] * jnp.array([c_lo[2], c_hi[2]])
     ck = jnp.array([w_lo, w_hi])
@@ -132,15 +144,54 @@ def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
     denom = K.reshape(-1) - e[0]
     denom = jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
     lam = (w_base - e[0]) / denom
-    lam = jnp.clip(lam, 0.0, 3.0)
+    lam = jnp.clip(lam, 0.0, 64.0)  # numeric guard (eye-in-slab degeneracy)
     proj_a = e[1] + lam * (A.reshape(-1) - e[1])
     proj_b = e[2] + lam * (B.reshape(-1) - e[2])
     size_a = ca[1] - ca[0]
     size_b = cb[1] - cb[0]
-    amin = jnp.clip(jnp.min(proj_a), ca[0] - size_a, ca[0] + 2 * size_a)
-    amax = jnp.clip(jnp.max(proj_a), ca[0] - size_a, ca[0] + 2 * size_a)
-    bmin2 = jnp.clip(jnp.min(proj_b), cb[0] - size_b, cb[0] + 2 * size_b)
-    bmax2 = jnp.clip(jnp.max(proj_b), cb[0] - size_b, cb[0] + 2 * size_b)
+    amin = jnp.min(proj_a)
+    amax = jnp.max(proj_a)
+    bmin2 = jnp.min(proj_b)
+    bmax2 = jnp.max(proj_b)
+    if frustum_wh is not None:
+        # Screen footprint on the base plane: the 4 corner-pixel-center
+        # rays (projective maps carry the screen rectangle to a quad whose
+        # bbox the corner hits bound). Valid only when every corner ray
+        # crosses the base plane forward (t > 0) — degenerate poses fall
+        # back to the content-only extent below.
+        W, H = frustum_wh
+        f = 1.0 / jnp.tan(0.5 * basis.fov_y)
+        aspect = W / max(1.0, float(H))
+        ux = (0.5 / W) * 2.0 - 1.0  # outermost pixel-center NDC
+        vy = (0.5 / H) * 2.0 - 1.0
+        hits_a, hits_b, ts = [], [], []
+        for sx in (ux, -ux):
+            for sy in (vy, -vy):
+                d = (sx * aspect / f) * basis.right \
+                    + (-sy / f) * basis.up + basis.forward
+                dp = _permute3(d, axis)
+                dk = jnp.where(jnp.abs(dp[0]) < _EPS, _EPS, dp[0])
+                t = (w_base - e[0]) / dk
+                ts.append(t)
+                hits_a.append(e[1] + t * dp[1])
+                hits_b.append(e[2] + t * dp[2])
+        ok = jnp.stack(ts).min() > 0.0
+        fa = jnp.stack(hits_a)
+        fb = jnp.stack(hits_b)
+        # 1% margin: the screen edge rays sit half a pixel beyond the
+        # corner centers and the warp's bilinear needs one source pixel.
+        pad_a = 0.01 * (fa.max() - fa.min())
+        pad_b = 0.01 * (fb.max() - fb.min())
+        amin = jnp.where(ok, jnp.maximum(amin, fa.min() - pad_a), amin)
+        amax = jnp.where(ok, jnp.minimum(amax, fa.max() + pad_a), amax)
+        bmin2 = jnp.where(ok, jnp.maximum(bmin2, fb.min() - pad_b), bmin2)
+        bmax2 = jnp.where(ok, jnp.minimum(bmax2, fb.max() + pad_b), bmax2)
+    # Wide numeric guard (replaces the old 3x-box clamp that cut content):
+    # 8x the content box on either side keeps degenerate poses finite.
+    amin = jnp.clip(amin, ca[0] - 8.0 * size_a, ca[1] + 8.0 * size_a)
+    amax = jnp.clip(amax, ca[0] - 8.0 * size_a, ca[1] + 8.0 * size_a)
+    bmin2 = jnp.clip(bmin2, cb[0] - 8.0 * size_b, cb[1] + 8.0 * size_b)
+    bmax2 = jnp.clip(bmax2, cb[0] - 8.0 * size_b, cb[1] + 8.0 * size_b)
     da = jnp.maximum(amax - amin, _EPS) / (out_res - 1)
     db = jnp.maximum(bmax2 - bmin2, _EPS) / (out_res - 1)
 
@@ -151,11 +202,33 @@ def sweep_geometry(basis: CameraBasis, p: BratsRenderParams,
     vmag = jnp.sqrt(va[:, None] ** 2 + vb[None, :] ** 2 + vk ** 2)
     dt_map = vox[0] * vmag / jnp.maximum(jnp.abs(vk), _EPS)
 
+    # Ray parameter (arc length from the eye) of entry into the compositing
+    # box: k spans the CONTENT range (the only planes that exist), (a, b)
+    # span the GLOBAL box (the inplane masks' domain). The compositors
+    # extend the FIRST crossing's dt by the entry->crossing distance so the
+    # entry segment's emission is not lost (the shader's first sample sits
+    # exactly at box entry, brats_rt.slang:115-125); without it, diagonal
+    # views lose up to one plane spacing of emission at every silhouette
+    # ray (measured ~12 dB PSNR at the worst pose, docs/RESULTS_r2.md).
+    d_k = jnp.where(jnp.abs(vk) < _EPS, _EPS, vk)
+    d_a = jnp.where(jnp.abs(va) < _EPS, _EPS, va)
+    d_b = jnp.where(jnp.abs(vb) < _EPS, _EPS, vb)
+    a_lo_w = bmin[1]
+    a_hi_w = bmin[1] + vox[1] * dimsf[1]
+    b_lo_w = bmin[2]
+    b_hi_w = bmin[2] + vox[2] * dimsf[2]
+    s_k = jnp.minimum((w_lo - e[0]) / d_k, (w_hi - e[0]) / d_k)  # ()
+    s_a = jnp.minimum((a_lo_w - e[1]) / d_a, (a_hi_w - e[1]) / d_a)  # (O,)
+    s_b = jnp.minimum((b_lo_w - e[2]) / d_b, (b_hi_w - e[2]) / d_b)  # (O,)
+    s_in = jnp.maximum(s_k, jnp.maximum(s_a[:, None], s_b[None, :]))
+    t_entry = jnp.maximum(s_in, 0.0) * vmag
+
     flip = (vox[0] / jnp.where(jnp.abs(vk) < _EPS, _EPS, vk)) < 0.0
     return SweepGeom(w_base=w_base, e=e, a0=amin, b0=bmin2, da=da, db=db,
                      flip=flip, vmag=vmag, dt_map=dt_map,
                      a_off=c_lo[1], b_off=c_lo[2],
-                     na_g=jnp.float32(Na), nb_g=jnp.float32(Nb))
+                     na_g=jnp.float32(Na), nb_g=jnp.float32(Nb),
+                     t_entry=t_entry)
 
 
 # ------------------------------------------------------------ weight matrices
@@ -228,6 +301,54 @@ def nearest_matrix(off, sc, n_in: int, out_res: int, clamp_lo=0.0,
     q = jnp.round(jnp.clip(pos, clamp_lo, clamp_hi))
     y = jnp.arange(n_in, dtype=jnp.float32)
     return (y[None, :] == q[:, None]).astype(jnp.float32)
+
+
+def entry_ratio_map(geom: SweepGeom, near, dt_plane) -> jnp.ndarray:
+    """Per-pixel r = max(t_entry, near) / dt: the march start position in
+    plane-spacing units. With q = t_k/dt (a per-plane SCALAR — vmag cancels),
+    the first crossing at or after the start satisfies 0 <= q - r < 1; the
+    compositors extend that plane's dt by (q - r) * dt so the entry
+    segment's emission is integrated. Sentinel t_entry < 0 disables."""
+    t_start = jnp.maximum(geom.t_entry, near)
+    return jnp.where(jnp.asarray(geom.t_entry) < 0.0, jnp.float32(3e38),
+                     t_start / jnp.maximum(dt_plane, _EPS))
+
+
+def entry_dt_scale(g: jnp.ndarray) -> jnp.ndarray:
+    """1 + (q - r) on the first crossing past the march start, 1 elsewhere."""
+    return 1.0 + jnp.clip(g, 0.0, 1.0) * (g < 1.0).astype(jnp.float32)
+
+
+def entry_active(g: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Pre-entry gate: planes before the march start (g < 0) never
+    composite. The sentinel r >= 1e37 (t_entry disabled) passes everything.
+    Gating on the SAME g = q - r that drives the first-segment correction
+    (rather than only the lateral inplane mask) keeps plane activation and
+    the correction consistent. The -1e-3 tolerance is essential: rays
+    entering through a k-face hit the entry plane at g = 0 EXACTLY, so a
+    hard g >= 0 would cull the whole first plane for half the image
+    depending on fp rounding (the correction clips negative g to 0, so
+    tolerated planes get scale 1 — the shader's entry-sample semantic)."""
+    return (g >= -1e-3) | (r >= 1e37)
+
+
+def entry_correction(g, act, started):
+    """First-active-plane dt scale + updated per-ray 'started' mask.
+
+    The FIRST active plane along each ray extends its dt by the
+    entry->crossing distance g = q - r, clipped to [0, 2] (g >= 2 means a
+    continuation slab: no correction). Tracking 'first active' per ray —
+    instead of the stateless 0 <= g < 1 plane test — makes the integrated
+    march length CONTINUOUS in r: if fp noise flips a boundary plane's
+    activity, the correction moves to the next plane with g larger by
+    exactly the dropped plane's spacing, so total length is preserved
+    (the stateless form jumps the first plane's dt between 1x and 2x,
+    a ~0.2 color discontinuity at box-silhouette pixels).
+    """
+    first = act * (1.0 - started)
+    scale = 1.0 + jnp.clip(g, 0.0, 2.0) * (g < 2.0).astype(jnp.float32) \
+        * first
+    return scale, jnp.maximum(started, act)
 
 
 def _geom_bounds(geom: SweepGeom, in_axis: int, n_local: int):
@@ -307,9 +428,15 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     tmin_map = near_t * jnp.ones_like(geom.vmag)
     big = jnp.float32(3e38)
     tmax_map = jnp.where(p.far > 0.0, p.far, big) * jnp.ones_like(geom.vmag)
+    # First-segment dt correction: q = t_k/dt is a per-plane scalar
+    # (lam * qfac); the plane with 0 <= q - r < 1 is the first crossing at
+    # or after the march start and its dt extends by (q - r) * dt.
+    qfac = jnp.abs(geom.w_base - geom.e[0]) * supersample \
+        / jnp.maximum(_permute3(p.voxel_size, axis)[0], _EPS)
+    r_map = entry_ratio_map(geom, near_t, dt)
 
     def body(carry, m):
-        C, T = carry
+        C, T, started = carry
         # Plane index along the sweep (flip for back-to-front eyes).
         mm = jnp.where(geom.flip, n_planes - 1 - m, m)
         z = mm.astype(jnp.float32) / supersample  # local fractional index
@@ -344,6 +471,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         # Ray parameter of this crossing + activity mask.
         inplane = mask_a[:, None] * mask_b[None, :]
         gate = (T > 0.01) if term_gate else jnp.bool_(True)
+        g = lam * qfac - r_map
         if use_clip:
             t_k = lam * geom.vmag
             active = (inplane > 0.0) & (t_k >= tmin_map) & (t_k <= tmax_map) \
@@ -352,6 +480,7 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             # near/far both disabled: behind-eye planes have lam < 0, a
             # per-plane scalar test — skips the per-pixel t map entirely.
             active = (inplane > 0.0) & (lam >= 0.0) & gate
+        active = active & entry_active(g, r_map)
         if slab_mode:
             # Slab owns planes [0, Nk) plus the closing plane only when it
             # holds the volume end (avoids double-compositing the plane
@@ -360,10 +489,12 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             active = active & own
         act = active.astype(jnp.float32)
 
+        scale, started = entry_correction(g, act, started)
+        dt_e = dt * scale
         val = jnp.clip((v - (p.wl - p.ww * 0.5)) / p.ww, 0.0, 1.0)
         if use_gamma:
             val = jnp.power(val, p.gamma)
-        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt)) * act
+        a = (1.0 - jnp.exp(-val * p.intensity_alpha * dt_e)) * act
         C, T = _composite(C, T, val[..., None], a)
 
         if seg_s is not None:
@@ -372,13 +503,13 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             lab = _nearest_resample(seg_s, zn, Wan, Wbn)
             rgba = _lut_rgba(lab, p.lut)
-            a = (1.0 - jnp.exp(-rgba[..., 3] * dt)) * act * \
+            a = (1.0 - jnp.exp(-rgba[..., 3] * dt_e)) * act * \
                 jnp.where(p.show_seg > 0, 1.0, 0.0)
             C, T = _composite(C, T, rgba[..., :3], a)
             if pred_s is not None:
                 labp = _nearest_resample(pred_s, zn, Wan, Wbn)
                 rgba = _lut_rgba(labp, p.lut)
-                a = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * \
+                a = (1.0 - jnp.exp(-rgba[..., 3] * dt_e * 1.5)) * act * \
                     jnp.where(p.show_pred > 0, 1.0, 0.0)
                 C, T = _composite(C, T, rgba[..., :3], a)
         elif pred_s is not None:
@@ -387,17 +518,19 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             zn = jnp.clip(jnp.round(z).astype(jnp.int32), 0, Nk - 1)
             labp = _nearest_resample(pred_s, zn, Wan, Wbn)
             rgba = _lut_rgba(labp, p.lut)
-            a = (1.0 - jnp.exp(-rgba[..., 3] * dt * 1.5)) * act * \
+            a = (1.0 - jnp.exp(-rgba[..., 3] * dt_e * 1.5)) * act * \
                 jnp.where(p.show_pred > 0, 1.0, 0.0)
             C, T = _composite(C, T, rgba[..., :3], a)
 
-        return (C, T), None
+        return (C, T, started), None
 
     C0 = jnp.zeros((out_res, cols, 3), jnp.float32)
     T0 = jnp.ones((out_res, cols), jnp.float32)
+    S0 = jnp.zeros((out_res, cols), jnp.float32)
     # unroll=2 lets XLA fuse adjacent planes' compositing chains, halving
     # C/T HBM round-trips (measured ~20% frame win; higher unrolls regress).
-    (C, T), _ = jax.lax.scan(body, (C0, T0), jnp.arange(n_planes), unroll=2)
+    (C, T, _), _ = jax.lax.scan(body, (C0, T0, S0), jnp.arange(n_planes),
+                                unroll=2)
     return C, T
 
 
@@ -479,9 +612,11 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     dt = geom.dt_map
     show_seg = jnp.where(p.show_seg > 0, 1.0, 0.0)
     show_pred = jnp.where(p.show_pred > 0, 1.0, 0.0)
+    qfac = jnp.abs(geom.w_base - geom.e[0]) / jnp.maximum(vox[0], 1e-6)
+    r_map = entry_ratio_map(geom, near_t, dt)
 
     def slab_body(carry, s_idx):
-        C, T = carry
+        C, T, started = carry
         m0 = s_idx * slab
         m = m0 + jnp.arange(slab)  # plane ids within the sweep order
         mm = jnp.where(geom.flip, n_planes - 1 - m, m)  # slice index z
@@ -510,12 +645,22 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         v = _bf16_resample(block, Wa, Wb)  # (S, O, O)
 
         t_k = lam[:, None, None] * geom.vmag[None]  # (S, O, O)
+        g = lam[:, None, None] * qfac - r_map[None]  # (S, O, O)
         act = (mask_a[:, :, None] * mask_b[:, None, :]
                * (t_k >= near_t) * (t_k <= far_t)
-               * in_range[:, None, None])
+               * in_range[:, None, None]
+               * entry_active(g, r_map[None]).astype(jnp.float32))
 
+        # First active plane per ray across the whole sweep: exclusive
+        # running-OR of act within the slab, seeded by the carried mask.
+        prev_any = jnp.maximum((jnp.cumsum(act, axis=0) - act > 0.0)
+                               .astype(jnp.float32), started[None])
+        first = act * (1.0 - prev_any)
+        dt_e = dt[None] * (1.0 + jnp.clip(g, 0.0, 2.0)
+                           * (g < 2.0).astype(jnp.float32) * first)
+        started = jnp.maximum(started, jnp.max(act, axis=0))
         val = transfer_function(v, p.ww, p.wl, p.gamma)
-        aI = (1.0 - jnp.exp(-val * p.intensity_alpha * dt[None])) * act
+        aI = (1.0 - jnp.exp(-val * p.intensity_alpha * dt_e)) * act
         E = aI[..., None] * val[..., None]  # (S, O, O, 3) grayscale emission
         tau = 1.0 - aI
 
@@ -527,7 +672,7 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             seg_blk = jnp.where(geom.flip, jnp.flip(seg_blk, 0), seg_blk)
             lab = _bf16_resample(seg_blk.astype(jnp.float32), Wan, Wbn)
             rgba = _lut_rgba(lab, p.lut)
-            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt[None])) * act * show_seg
+            aS = (1.0 - jnp.exp(-rgba[..., 3] * dt_e)) * act * show_seg
             E = E + (tau * aS)[..., None] * rgba[..., :3]
             tau = tau * (1.0 - aS)
         if pred_s is not None:
@@ -535,7 +680,7 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pred_blk = jnp.where(geom.flip, jnp.flip(pred_blk, 0), pred_blk)
             labp = _bf16_resample(pred_blk.astype(jnp.float32), Wan, Wbn)
             rgba = _lut_rgba(labp, p.lut)
-            aP = (1.0 - jnp.exp(-rgba[..., 3] * dt[None] * 1.5)) * act * show_pred
+            aP = (1.0 - jnp.exp(-rgba[..., 3] * dt_e * 1.5)) * act * show_pred
             E = E + (tau * aP)[..., None] * rgba[..., :3]
             tau = tau * (1.0 - aP)
 
@@ -547,11 +692,12 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         gate = (T_entry > 0.01).astype(jnp.float32)
         C = C + jnp.sum((T_entry * gate)[..., None] * E, axis=0)
         T = T * cum[-1]
-        return (C, T), None
+        return (C, T, started), None
 
     C0 = jnp.zeros((out_res, out_res, 3), jnp.float32)
     T0 = jnp.ones((out_res, out_res), jnp.float32)
-    (C, T), _ = jax.lax.scan(slab_body, (C0, T0), jnp.arange(n_slabs))
+    S0 = jnp.zeros((out_res, out_res), jnp.float32)
+    (C, T, _), _ = jax.lax.scan(slab_body, (C0, T0, S0), jnp.arange(n_slabs))
     return C, T
 
 
@@ -611,12 +757,21 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
     from mri_raytracer_tpu.ops.pallas_warp import TILE_I, TILE_J
 
     if use_pallas and height % TILE_I == 0 and width % TILE_J == 0:
-        from mri_raytracer_tpu.ops.pallas_warp import warp_pallas
+        from mri_raytracer_tpu.ops.pallas_warp import (warp_fit_starts,
+                                                       warp_pallas_exec)
 
         C3 = jnp.moveaxis(C, -1, 0)
-        out_p, fits = warp_pallas(C3, i_map, j_map, height, width)
-        out = jax.lax.cond(fits, lambda: out_p,
-                           lambda: gather_warp(C, i_map, j_map))
+        it, jt, starts, fits = warp_fit_starts(i_map, j_map, O, height,
+                                               width)
+        # The kernel must execute ONLY when the footprint fits: running it
+        # unconditionally and discarding the result through the cond was
+        # observed to corrupt the frame when the fused Pallas compositor
+        # lives in the same program (diag pose at 1024^2: 40.7 dB with the
+        # stray kernel vs 64.3 dB without, identical cond selection).
+        out = jax.lax.cond(
+            fits,
+            lambda: warp_pallas_exec(C3, it, jt, starts, height, width),
+            lambda: gather_warp(C, i_map, j_map))
     else:
         out = gather_warp(C, i_map, j_map)
     out = jnp.where(valid[..., None], out, 0.0)
@@ -660,7 +815,8 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
     k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
     content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
     geom = sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
-                          content_lo, content_hi)
+                          content_lo, content_hi,
+                          frustum_wh=(width, height))
     if composite == "pallas" and supersample == 1 and out_res % 128 == 0:
         from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
 

@@ -43,14 +43,17 @@ def build_sharded_renderer(mesh: Mesh, vol_dims, width: int, height: int,
             mixed_s = sw._perm_volume(mixed, axis)
             seg_s = sw._perm_volume(seg, axis) if has_seg else None
             pred_s = sw._perm_volume(pred, axis) if has_pred else None
-            geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, out_res_)
+            geom = sw.sweep_geometry(basis, p, mixed_s.shape, axis, out_res_,
+                                     frustum_wh=(width, height))
 
             idx = jax.lax.axis_index("space")
             j0 = idx * cols
             geom_stripe = geom._replace(
                 b0=geom.b0 + j0.astype(jnp.float32) * geom.db,
                 vmag=jax.lax.dynamic_slice_in_dim(geom.vmag, j0, cols, 1),
-                dt_map=jax.lax.dynamic_slice_in_dim(geom.dt_map, j0, cols, 1))
+                dt_map=jax.lax.dynamic_slice_in_dim(geom.dt_map, j0, cols, 1),
+                t_entry=jax.lax.dynamic_slice_in_dim(geom.t_entry, j0, cols,
+                                                     1))
             C, T = sw.sweep_composite(mixed_s, seg_s, pred_s, geom_stripe, p,
                                       axis, out_res_, 1, out_cols=cols)
             # Assemble the full intermediate over ICI, warp once per device.
@@ -114,7 +117,8 @@ def build_volume_sharded_renderer(mesh: Mesh, vol_dims, width: int,
     def body(mixed_slab, seg_slab, basis_vec, p):
         basis = unpack_basis(basis_vec)
         geom = sw.sweep_geometry(basis, p, (Nk,) + mixed_slab.shape[1:],
-                                 axis, out_res_)
+                                 axis, out_res_,
+                                 frustum_wh=(width, height))
         d = jax.lax.axis_index("space")
         z_off = (d * slab_k).astype(jnp.float32)
         C, T = sw.sweep_composite(mixed_slab,

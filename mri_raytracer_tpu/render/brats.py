@@ -89,7 +89,7 @@ class BratsRenderer:
                 self._bbox.append((0, int(proj.shape[0])))
 
     @staticmethod
-    def _crop32(lo: int, hi: int, n: int, guard: int = 4) -> tuple:
+    def _crop16(lo: int, hi: int, n: int, guard: int = 4) -> tuple:
         """Pad a crop range to 16-slice granularity (stable shapes across
         small bbox changes — the bbox is camera-independent, so granularity
         only limits recompiles when set_prediction grows the box).
@@ -143,14 +143,14 @@ class BratsRenderer:
                 # k-range are skipped (slab contract) and the in-plane crop +
                 # shrunk intermediate resolution spend rays only on the
                 # content box's projection, at >= the uncropped sampling
-                # density. Bounds pad to 32 for stable compiled shapes.
+                # density. Bounds pad to 16 for stable compiled shapes.
                 order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
                 dims_perm = [int(self.mods.shape[1 + o]) for o in order]
                 nk, na_g, nb_g = dims_perm
                 crop_ok = (float(np.asarray(params.wl))
                            >= 0.5 * float(np.asarray(params.ww)))
                 if crop_ok:
-                    crops = [self._crop32(*self._bbox[o], dims_perm[i])
+                    crops = [self._crop16(*self._bbox[o], dims_perm[i])
                              for i, o in enumerate(order)]
                 else:
                     crops = [(0, n) for n in dims_perm]

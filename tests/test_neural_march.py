@@ -151,17 +151,23 @@ def test_fused_field_path_matches_scan(scene):
     O, S = 128, 2
     W = H = 96
 
-    img_scan = np.asarray(neural_march.render_brats_neural(
-        disp, zsc, seg, model, params, b, p, W, H, out_res=O, pred_stride=S))
-
+    # Both paths get the SAME precomputed geometry + prediction field:
+    # geometry rebuilt inside a second jit program differs at ~1e-5, which
+    # flips argmax labels of this near-tie random model and would measure
+    # tie-breaking noise instead of compositing parity.
     mixed = blend_modalities(disp, p.vol_enabled, p.vol_weight)
     mixed_s = sw._perm_volume(mixed, axis)
     modsz_s = jnp.stack([sw._perm_volume(zsc[m], axis) for m in range(4)])
     seg_s = sw._perm_volume(seg, axis)
-    geom = sw.sweep_geometry(b, p, mixed_s.shape, axis, O)
+    geom = sw.sweep_geometry(b, p, mixed_s.shape, axis, O,
+                             frustum_wh=(W, H))
     field = neural_march.predict_field(model, params, modsz_s, geom, p,
                                        axis, O, S, block=8)
     fieldb = jnp.repeat(field.astype(jnp.bfloat16), S, axis=2)
+
+    img_scan = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, seg, model, params, b, p, W, H, out_res=O, pred_stride=S,
+        geom=geom, field=field))
     C, T = sweep_composite_pallas(mixed_s, seg_s, None, geom, p, axis, O,
                                   use_gamma=False, use_clip=False,
                                   interpret=True, pred_field=fieldb,
