@@ -52,10 +52,16 @@ def _predict_labels(model: ModelBundle, params, mods: jnp.ndarray,
 
 
 def predict_volume(model: ModelBundle, params, case_data, chunk: int = 131072,
-                   gaussian_sigma: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+                   gaussian_sigma: float = 0.0,
+                   exact: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """(pred_vol, seg_true) like the reference ``predict_volume``; optional
     Gaussian pre-filter of modalities (reference E8,
-    ``scripts/jax_inr_brats.py:266-270``)."""
+    ``scripts/jax_inr_brats.py:266-270``).
+
+    ``exact=True`` forces the fp32 chunked predictor even for separable
+    models: the bf16 separable bake (~12 ms vs ~100 s at 256^3) can flip
+    ~0.5% of near-boundary labels, which shifts parity metrics — reference-
+    matching evaluations opt into the exact path."""
     mods = np.asarray(case_data["mods"], np.float32)
     seg_true = np.asarray(case_data["seg"])
     if gaussian_sigma > 0.0:
@@ -65,7 +71,7 @@ def predict_volume(model: ModelBundle, params, case_data, chunk: int = 131072,
     from mri_raytracer_tpu.ops.neural_march import (bake_labels,
                                                     model_is_separable)
 
-    if model_is_separable(model):
+    if model_is_separable(model) and not exact:
         # All-MXU separable bake: 256^3 in ~12 ms vs ~100 s chunked.
         pred = bake_labels(model, params, jnp.asarray(mods))
     else:

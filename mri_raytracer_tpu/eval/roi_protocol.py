@@ -170,12 +170,18 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
     scenes = []
 
     def add(name, mixed, seg):
+        from mri_raytracer_tpu.ops.trilinear import pack_trilinear_corners
+
         feats = roi_policy.build_feature_volumes(mixed, seg)
         p = rp.default_render_params(mixed.shape, show_seg=False)
         p = p._replace(intensity_alpha=p.intensity_alpha * alpha_scale)
         scenes.append({
             "name": name,
             "mixed": jnp.asarray(mixed),
+            # Corner-packed variant: one wide row-gather per fine sample
+            # (8x memory for ~3x march speed — what makes the 1920x1080
+            # protocol evaluation affordable).
+            "mixed_p": pack_trilinear_corners(jnp.asarray(mixed)),
             "feat_rows": jnp.asarray(
                 roi_policy.pack_feature_rows(mixed, feats)),
             "P": jnp.asarray(feats["P"]),
@@ -217,7 +223,7 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
 
 
 def scene_tuple(scene) -> Tuple:
-    return (scene["mixed"], scene["feat_rows"])
+    return (scene.get("mixed_p", scene["mixed"]), scene["feat_rows"])
 
 
 def make_views(radius: float, held_out: bool = False) -> List[np.ndarray]:
@@ -230,6 +236,40 @@ def make_views(radius: float, held_out: bool = False) -> List[np.ndarray]:
         cam = OrbitalCamera(radius=radius, theta=th, phi=ph)
         out.append(np.asarray(cam.basis().pack()))
     return out
+
+
+def make_orbit_views(radius: float, n_frames: int = 30,
+                     held_out: bool = False) -> List[np.ndarray]:
+    """A moving-camera orbit of ``n_frames`` poses — the protocol's frame
+    sequence ("Resolution: 1920x1080 fixed ... median over >= 30 frames",
+    ``docs/showcase-plan.md:41-44``): theta sweeps a full turn while the
+    elevation oscillates through two periods (includes near-diagonal
+    poses). ``held_out``: phase-shifted orbit in a disjoint elevation band
+    (no pose coincides with the standard orbit or the training views)."""
+    out = []
+    ph0 = 0.35 if held_out else 0.0
+    for i in range(n_frames):
+        f = i / n_frames
+        th = 2.0 * np.pi * f + (0.5 if held_out else 0.1)
+        ph = 0.9 + 0.45 * np.sin(2.0 * np.pi * (2.0 * f + ph0)) \
+            + (0.18 if held_out else 0.0)
+        cam = OrbitalCamera(radius=radius, theta=float(th), phi=float(ph))
+        out.append(np.asarray(cam.basis().pack()))
+    return out
+
+
+def median_ci(xs, n_boot: int = 2000, seed: int = 0) -> Dict[str, float]:
+    """Median with a bootstrap percentile 95% CI across frames (the
+    protocol's "report 95% CI across frames for PSNR/SSIM and ms/frame",
+    ``docs/showcase-plan.md:45-46``)."""
+    xs = np.asarray(xs, np.float64)
+    rng = np.random.default_rng(seed)
+    meds = np.median(
+        xs[rng.integers(0, len(xs), size=(n_boot, len(xs)))], axis=1)
+    return {"median": float(np.median(xs)),
+            "ci95": [float(np.percentile(meds, 2.5)),
+                     float(np.percentile(meds, 97.5))],
+            "n": int(len(xs))}
 
 
 def _median_time(fn, n_frames: int, batches: int = 3) -> float:
@@ -250,66 +290,163 @@ def _median_time(fn, n_frames: int, batches: int = 3) -> float:
     return float(np.median(ts))
 
 
+def _dev_metrics(img, ref, wmap):
+    """Device-side per-frame metrics: (psnr, wpsnr, ssim) scalars — frames
+    never leave the device (a 1080p f32 frame is 24 MB; shipping every
+    sweep frame through a remote-attached device link would dominate the
+    protocol run)."""
+    from mri_raytracer_tpu.eval.metrics import ssim_jax
+
+    err = jnp.square(img - ref).mean(-1)
+    mse = jnp.maximum(jnp.mean(err), 1e-12)
+    werr = err * wmap / jnp.maximum(jnp.mean(wmap), 1e-12)
+    wmse = jnp.maximum(jnp.mean(werr), 1e-12)
+    # Grayscale SSIM: the ROI protocol scenes render with the label LUT off,
+    # so the channels are identical; mean-channel SSIM == per-channel mean.
+    s = ssim_jax(img.mean(-1), ref.mean(-1))
+    return (-10.0 * jnp.log10(mse), -10.0 * jnp.log10(wmse), s)
+
+
+_dev_metrics_jit = None
+
+
+def _metrics_of(img, ref, wmap):
+    global _dev_metrics_jit
+    if _dev_metrics_jit is None:
+        import jax
+
+        _dev_metrics_jit = jax.jit(_dev_metrics)
+    a, b, c = _dev_metrics_jit(img, ref, wmap)
+    return float(a), float(b), float(c)
+
+
+def _render_ref(scene, bv, p, width, height, ref_steps, block,
+                ref_cache=None, tag=None):
+    """Very-fine fixed-step reference at one pose, optionally disk-cached
+    (refs dominate protocol cost; they are pose/scene/res-deterministic)."""
+    import pathlib
+
+    if ref_cache is not None:
+        key = np.asarray(bv, np.float32).tobytes()
+        import hashlib
+
+        h = hashlib.sha1(key).hexdigest()[:12]
+        f = pathlib.Path(ref_cache) / \
+            f"ref_{tag}_{width}x{height}_n{ref_steps}_{h}.npy"
+        if f.exists():
+            return jnp.asarray(np.load(f))
+    ref, _ = roi_policy.render_fixed(scene_tuple(scene)[0], jnp.asarray(bv),
+                                     p, width, height, ref_steps,
+                                     block=block)
+    if ref_cache is not None:
+        f.parent.mkdir(parents=True, exist_ok=True)
+        np.save(f, np.asarray(ref))
+    return ref
+
+
+def _wmap_for(scene, bv, p, width, height):
+    """ROI weight map at a pose, computed at 1/4 resolution and upsampled
+    (the P/B projections are Gaussian-smooth; full-res projection would
+    cost another B1-render per pose)."""
+    wq, hq = max(width // 4, 1), max(height // 4, 1)
+    P_img, B_img = roi_policy.project_roi_maps(scene["P"], scene["B"],
+                                               jnp.asarray(bv), p, wq, hq)
+    w = roi_policy.roi_weight_map(P_img, B_img)
+    w = jnp.repeat(jnp.repeat(w, 4, axis=0), 4, axis=1)[:height, :width]
+    return w
+
+
 def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                  budgets: Sequence[int], p=None, width: int = 256,
                  height: int = 256, ref_steps: int = 512,
                  n_frames: int = 30, cfg=roi_policy.PolicyConfig(),
-                 n_coarse: int = 32, probe_stride: int = 1) -> Dict:
-    """Per-budget baseline-vs-policy measurements on one scene.
+                 n_coarse: int = 32, probe_stride: int = 1,
+                 block: Optional[int] = None, ref_cache=None) -> Dict:
+    """Per-budget baseline-vs-policy measurements on one scene, at the
+    showcase-plan reporting protocol (``docs/showcase-plan.md:41-46``):
+    per-frame PSNR / ROI-weighted PSNR / SSIM vs the fine reference over
+    the ``views`` frame sequence (>= 30 orbit poses at protocol scale) with
+    **median + bootstrap 95% CI across frames**, and wall-clock ms/frame as
+    median + 95% CI over ``n_frames`` timed frames.
 
-    Returns {'budgets', 'baseline': [{psnr, wpsnr, ms, steps}], 'policy':
-    [...], 'ref_steps'} with metrics averaged over views (median ms)."""
+    Returns {'budgets', 'baseline': [{n, psnr, wpsnr, ssim, ms, steps,
+    psnr_ci, wpsnr_ci, ssim_ci, ms_ci}], 'policy': [...], ...}; the plain
+    keys are the across-frame medians (consumed by ``evaluate_success``).
+
+    ``block``: sample-block size for the memory-bounded marches (required
+    at 1080p); ``ref_cache``: directory for disk-cached reference frames.
+    """
     p = p or scene["params"]
-    mixed = scene["mixed"]
+    mixed = scene_tuple(scene)[0]
     st = scene_tuple(scene)
+    tag = scene.get("name", "scene")
 
     refs, wmaps = [], []
     for bv in views:
-        ref, _ = roi_policy.render_fixed(mixed, jnp.asarray(bv), p, width,
-                                         height, ref_steps)
-        refs.append(np.asarray(ref))
-        P_img, B_img = roi_policy.project_roi_maps(scene["P"], scene["B"],
-                                                   jnp.asarray(bv), p, width,
-                                                   height)
-        wmaps.append(np.asarray(roi_policy.roi_weight_map(P_img, B_img)))
+        refs.append(_render_ref(scene, bv, p, width, height, ref_steps,
+                                block, ref_cache, tag))
+        wmaps.append(_wmap_for(scene, bv, p, width, height))
+
+    def timed_ms(fn):
+        """Median + CI of per-frame wall ms: ``n_frames`` frames in batches
+        of 3, queued back-to-back with one scalar-readback sync per batch
+        (an isolated dispatch measures the device link round-trip, not the
+        renderer)."""
+        out = fn()
+        float(jnp.sum(out))  # warm + sync
+        per_frame = []
+        n_batches = max(n_frames // 3, 1)
+        for _ in range(n_batches):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn()
+            float(jnp.sum(out))
+            per_frame.append(1e3 * (time.perf_counter() - t0) / 3)
+        return median_ci(per_frame)
 
     out = {"budgets": list(budgets), "baseline": [], "policy": [],
-           "ref_steps": ref_steps, "width": width, "height": height}
+           "ref_steps": ref_steps, "width": width, "height": height,
+           "quality_frames": len(views), "timing_frames": n_frames}
     for n in budgets:
-        b_psnr, b_w, b_steps = [], [], []
-        p_psnr, p_w, p_steps = [], [], []
+        rows = {"baseline": {"psnr": [], "wpsnr": [], "ssim": [],
+                             "steps": []},
+                "policy": {"psnr": [], "wpsnr": [], "ssim": [], "steps": []}}
         for bv, ref, wmap in zip(views, refs, wmaps):
             bvj = jnp.asarray(bv)
             img, steps = roi_policy.render_fixed(mixed, bvj, p, width,
-                                                 height, n)
-            b_psnr.append(psnr(img, ref))
-            b_w.append(psnr(img, ref, wmap))
-            b_steps.append(float(steps))
+                                                 height, n, block=block)
+            q = _metrics_of(img, ref, wmap)
+            rows["baseline"]["psnr"].append(q[0])
+            rows["baseline"]["wpsnr"].append(q[1])
+            rows["baseline"]["ssim"].append(q[2])
+            rows["baseline"]["steps"].append(float(steps))
             pimg, stats = roi_policy.render_policy(
                 policy, *st, bvj, p, width, height, n_coarse, n, cfg,
-                probe_stride=probe_stride)
-            p_psnr.append(psnr(pimg, ref))
-            p_w.append(psnr(pimg, ref, wmap))
-            p_steps.append(float(stats["steps_per_ray"]))
+                probe_stride=probe_stride, block=block)
+            q = _metrics_of(pimg, ref, wmap)
+            rows["policy"]["psnr"].append(q[0])
+            rows["policy"]["wpsnr"].append(q[1])
+            rows["policy"]["ssim"].append(q[2])
+            rows["policy"]["steps"].append(float(stats["steps_per_ray"]))
         # Frame time per budget is view-independent (fixed sample counts);
-        # measure once on the first view.
+        # timed at the first pose.
         bv0 = jnp.asarray(views[0])
-        b_ms = _median_time(
-            lambda: roi_policy.render_fixed(mixed, bv0, p, width, height,
-                                            n)[0], n_frames)
-        p_ms = _median_time(
-            lambda: roi_policy.render_policy(policy, *st, bv0, p, width,
-                                             height, n_coarse, n, cfg,
-                                             probe_stride=probe_stride)[0],
-            n_frames)
-        out["baseline"].append({
-            "n": n, "psnr": float(np.mean(b_psnr)),
-            "wpsnr": float(np.mean(b_w)), "ms": 1e3 * b_ms,
-            "steps": float(np.mean(b_steps))})
-        out["policy"].append({
-            "n": n, "psnr": float(np.mean(p_psnr)),
-            "wpsnr": float(np.mean(p_w)), "ms": 1e3 * p_ms,
-            "steps": float(np.mean(p_steps))})
+        ms = {"baseline": timed_ms(
+                  lambda: roi_policy.render_fixed(mixed, bv0, p, width,
+                                                  height, n, block=block)[0]),
+              "policy": timed_ms(
+                  lambda: roi_policy.render_policy(
+                      policy, *st, bv0, p, width, height, n_coarse, n, cfg,
+                      probe_stride=probe_stride, block=block)[0])}
+        for kind in ("baseline", "policy"):
+            r = rows[kind]
+            rec = {"n": n, "steps": float(np.mean(r["steps"])),
+                   "ms": ms[kind]["median"], "ms_ci": ms[kind]["ci95"]}
+            for m in ("psnr", "wpsnr", "ssim"):
+                ci = median_ci(r[m])
+                rec[m] = ci["median"]
+                rec[m + "_ci"] = ci["ci95"]
+            out[kind].append(rec)
     return out
 
 

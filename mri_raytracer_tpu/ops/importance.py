@@ -58,7 +58,8 @@ def inverse_cdf_sample(t_bins: jnp.ndarray, weights: jnp.ndarray,
 
 def inverse_cdf_sample_mm(t_bins: jnp.ndarray, weights: jnp.ndarray,
                           u: jnp.ndarray, eps: float = 1e-6,
-                          return_bin_dt: bool = False) -> jnp.ndarray:
+                          return_bin_dt: bool = False,
+                          n_total: int = None) -> jnp.ndarray:
     """``inverse_cdf_sample`` with the bin lookup as a one-hot contraction.
 
     TPU-native variant: ``take_along_axis`` on a minor axis costs ~12 ms per
@@ -93,7 +94,10 @@ def inverse_cdf_sample_mm(t_bins: jnp.ndarray, weights: jnp.ndarray,
     t = t0 + frac * (t1 - t0)
     if not return_bin_dt:
         return t
-    n_fine = u.shape[-1]
+    # ``n_total``: the FULL fine-sample count when ``u`` is one block of a
+    # larger stratified train (blocked marches) — the per-sample dt is the
+    # expected spacing under the whole train, not the block.
+    n_fine = n_total if n_total is not None else u.shape[-1]
     length = t1 - t0
     span = (t_bins[..., -1:] - t_bins[..., :1])  # (..., 1) ray span
     cap = 2.0 * jnp.maximum(length, span / n_fine)

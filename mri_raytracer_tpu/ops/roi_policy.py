@@ -185,8 +185,17 @@ def _ray_setup(basis: CameraBasis, p: BratsRenderParams, dims,
 
 def _march_composite(mixed, pidx, dt, p, valid):
     """Shared fine-phase compositing: trilinear sample -> transfer ->
-    alpha -> front-to-back (O(N) adjoint via ops/diffrender)."""
-    v = trilinear_sample_base(mixed, pidx)
+    alpha -> front-to-back (O(N) adjoint via ops/diffrender).
+
+    ``mixed`` may be the plain (X, Y, Z) volume or the (X, Y, Z, 8)
+    corner-packed form (``ops.trilinear.pack_trilinear_corners``) — the
+    packed form does one wide row-gather per sample instead of 8 scalar
+    gathers (~3x faster march; required at protocol scale)."""
+    if mixed.ndim == 4:
+        from mri_raytracer_tpu.ops.trilinear import trilinear_sample_packed
+        v = trilinear_sample_packed(mixed, pidx)
+    else:
+        v = trilinear_sample_base(mixed, pidx)
     val = transfer_function(v, p.ww, p.wl, p.gamma)
     a = 1.0 - jnp.exp(-val * p.intensity_alpha * dt)
     a = a * valid[..., None].astype(jnp.float32)
@@ -195,36 +204,64 @@ def _march_composite(mixed, pidx, dt, p, valid):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "n_steps"))
+                   static_argnames=("width", "height", "n_steps", "block"))
 def render_fixed(mixed: jnp.ndarray, basis_vec: jnp.ndarray,
                  p: BratsRenderParams, width: int, height: int,
-                 n_steps: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 n_steps: int, block: Optional[int] = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-step baseline (B1): n_steps uniform samples per ray between the
     per-ray AABB entry/exit. Returns (image (H,W,3), steps-per-ray scalar).
+
+    ``block``: composite in sample blocks via lax.scan (memory-bounded;
+    exact) — required at protocol scale (1080p, n_steps up to 512).
     """
     from mri_raytracer_tpu.render.camera import unpack_basis
 
     basis = unpack_basis(basis_vec)
-    dims = jnp.array(mixed.shape, jnp.float32)
+    dims = jnp.array(mixed.shape[:3], jnp.float32)
     ro, rd, t0, t1, valid, bmin = _ray_setup(basis, p, dims, width, height)
-    k = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
-    t = t0[..., None] + k * (t1 - t0)[..., None]  # (H, W, N)
-    dt = ((t1 - t0) / n_steps)[..., None] * jnp.ones((1, 1, n_steps))
-    pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
-    pidx = (pos - bmin) / p.voxel_size
-    C, T = _march_composite(mixed, pidx, dt, p, valid)
+    if block is not None and block < n_steps:
+        # Per-block sample generation: never materializes the full
+        # (H, W, N) t train (4+ GB at 1080p x 512 ref steps).
+        nb = -(-n_steps // block)
+        dt0 = (t1 - t0) / n_steps
+
+        def body(carry, bi):
+            C, T = carry
+            k = bi * block + jnp.arange(block, dtype=jnp.float32) + 0.5
+            in_n = (k < n_steps).astype(jnp.float32)
+            tk = t0[..., None] + (k / n_steps) * (t1 - t0)[..., None]
+            dtk = dt0[..., None] * in_n
+            pos = ro[..., None, :] + tk[..., None] * rd[..., None, :]
+            pidx = (pos - bmin) / p.voxel_size
+            Cb, Tb = _march_composite(mixed, pidx, dtk, p, valid)
+            return (C + T[..., None] * Cb, T * Tb), None
+
+        C0 = jnp.zeros((height, width, 3), jnp.float32)
+        T0 = jnp.ones((height, width), jnp.float32)
+        (C, T), _ = jax.lax.scan(body, (C0, T0),
+                                 jnp.arange(nb, dtype=jnp.float32))
+    else:
+        k = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+        t = t0[..., None] + k * (t1 - t0)[..., None]  # (H, W, N)
+        dt = ((t1 - t0) / n_steps)[..., None] * jnp.ones((1, 1, n_steps))
+        pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
+        pidx = (pos - bmin) / p.voxel_size
+        C, T = _march_composite(mixed, pidx, dt, p, valid)
     steps = jnp.float32(n_steps) * jnp.mean(valid.astype(jnp.float32))
     return C + p.bg_color[None, None, :] * T[..., None], steps
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "n_coarse", "n_fine",
-                                    "cfg", "roi_clamp", "probe_stride"))
+                                    "cfg", "roi_clamp", "probe_stride",
+                                    "block"))
 def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                   basis_vec: jnp.ndarray, p: BratsRenderParams,
                   width: int, height: int, n_coarse: int = 32,
                   n_fine: int = 64, cfg: PolicyConfig = PolicyConfig(),
                   roi_clamp: bool = True, probe_stride: int = 1,
+                  block: Optional[int] = None,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Policy-guided adaptive render. Returns (image, stats).
 
@@ -241,7 +278,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     from mri_raytracer_tpu.render.camera import unpack_basis
 
     basis = unpack_basis(basis_vec)
-    dims = jnp.array(mixed.shape, jnp.float32)
+    dims = jnp.array(mixed.shape[:3], jnp.float32)
     ro, rd, t0, t1, valid, bmin = _ray_setup(basis, p, dims, width, height)
 
     # ---- coarse probe: ONE 8-channel row-gather per sample, on a strided
@@ -299,24 +336,53 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     # normalized ray coordinates s in [0,1] (bins are uniform in s), then
     # maps affinely onto each ray's [t0, t1] — an S^2 saving on the one-hot
     # contraction, exact by construction.
-    u = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine
     # Importance-consistent per-sample dt (expected local spacing): realized
     # neighbor spacing bleeds skipped-gap widths into content-run edges and
     # costs ~9x composited MSE at equal budget on sparse scenes.
     s_bins = jnp.broadcast_to(kk, rho.shape[:-1] + kk.shape)
-    s_f, ds_f = inverse_cdf_sample_mm(s_bins, rho, u,
-                                      return_bin_dt=True)  # (h,w,Nf)
-    if S > 1:
-        s_f = jnp.repeat(jnp.repeat(s_f, S, axis=0), S,
-                         axis=1)[:height, :width]
-        ds_f = jnp.repeat(jnp.repeat(ds_f, S, axis=0), S,
-                          axis=1)[:height, :width]
     span = (t1 - t0)[..., None]
-    t_f = t0[..., None] + s_f * span
-    dt_f = ds_f * span
-    pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
-    pidx_f = (pos_f - bmin) / p.voxel_size
-    C, T = _march_composite(mixed, pidx_f, dt_f, p, valid)
+
+    def _sample_block(u_blk):
+        """Inverse-CDF placement for one block of the stratified u train
+        (shared per S x S probe block), mapped onto each ray's [t0, t1]."""
+        s_f, ds_f = inverse_cdf_sample_mm(s_bins, rho, u_blk,
+                                          return_bin_dt=True,
+                                          n_total=n_fine)  # (h, w, |blk|)
+        if S > 1:
+            s_f = jnp.repeat(jnp.repeat(s_f, S, axis=0), S,
+                             axis=1)[:height, :width]
+            ds_f = jnp.repeat(jnp.repeat(ds_f, S, axis=0), S,
+                              axis=1)[:height, :width]
+        return t0[..., None] + s_f * span, ds_f * span
+
+    if block is not None and block < n_fine:
+        # Memory-bounded fine march: scan over u blocks (ascending u ->
+        # ascending s -> front-to-back), folding each block's composite
+        # with the associative over-operator — exact, peak memory
+        # O(H * W * block). Required at protocol scale (1080p).
+        nb = -(-n_fine // block)
+
+        def bodyf(carry, bi):
+            C, T = carry
+            j = bi * block + jnp.arange(block, dtype=jnp.float32)
+            u_blk = (j + 0.5) / n_fine
+            in_n = (j < n_fine).astype(jnp.float32)
+            t_f, dt_f = _sample_block(jnp.minimum(u_blk, 1.0 - 1e-6))
+            pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
+            pidx_f = (pos_f - bmin) / p.voxel_size
+            Cb, Tb = _march_composite(mixed, pidx_f, dt_f * in_n, p, valid)
+            return (C + T[..., None] * Cb, T * Tb), None
+
+        C0 = jnp.zeros((height, width, 3), jnp.float32)
+        T0 = jnp.ones((height, width), jnp.float32)
+        (C, T), _ = jax.lax.scan(bodyf, (C0, T0),
+                                 jnp.arange(nb, dtype=jnp.float32))
+    else:
+        u = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine
+        t_f, dt_f = _sample_block(u)
+        pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
+        pidx_f = (pos_f - bmin) / p.voxel_size
+        C, T = _march_composite(mixed, pidx_f, dt_f, p, valid)
 
     # ---- stats: useful samples = fine samples in live segments.
     valid_c = valid[::S, ::S] if S > 1 else valid
@@ -376,7 +442,11 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
                  n_coarse: int = 32, n_fine: int = 64, steps: int = 200,
                  lr: float = 3e-4, alpha: float = 0.0,
                  weights: Optional[list] = None, probe_stride: int = 1,
-                 extra_scenes: Optional[list] = None):
+                 extra_scenes: Optional[list] = None,
+                 val_views: Optional[list] = None,
+                 val_refs: Optional[list] = None,
+                 val_weights: Optional[list] = None,
+                 eval_every: int = 50, patience: int = 5):
     # NOTE alpha (Methodology:51's sample-cost weight) defaults to 0: under
     # a FIXED fine budget the wall cost is constant and any visible alpha
     # drowns the image term (image MSE at useful quality is ~1e-5-1e-6);
@@ -389,6 +459,17 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
     round-robin alongside the primary scene (Methodology:50 trains on 'a
     small set of volumes (medical + non-medical)' — single-scene training
     overfits the scale head to that scene's statistics).
+
+    Checkpoint selection (Methodology:53 "early stop on validation PSNR;
+    choose checkpoint by best ROI-weighted PSNR at target speed"): when
+    ``val_views``/``val_refs`` (held-out views of the primary scene) are
+    given, validation ROI-wPSNR at the TRAINING budget (= the target speed)
+    is evaluated every ``eval_every`` steps; training early-stops after
+    ``patience`` evaluations without improvement and the best-validation
+    checkpoint is returned instead of the final step's.
+
+    Returns ``(policy, losses, selection)`` where ``selection`` records the
+    selected step, the validation curve, and whether early stop fired.
     """
     import optax
 
@@ -409,10 +490,30 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
         policy = optax.apply_updates(policy, upd)
         return policy, opt_state, loss
 
+    @jax.jit
+    def val_wpsnr_one(policy, bv, ref, w):
+        img, _ = render_policy(policy, scene[0], scene[1], bv, p, width,
+                               height, n_coarse, n_fine, cfg,
+                               probe_stride=probe_stride)
+        err = jnp.square(img - ref).mean(-1)
+        if w is not None:
+            err = err * w / jnp.maximum(jnp.mean(w), 1e-12)
+        mse = jnp.maximum(jnp.mean(err), 1e-12)
+        return -10.0 * jnp.log10(mse)
+
+    def val_wpsnr(policy):
+        ws = val_weights if val_weights is not None else [None] * len(val_views)
+        return float(np.mean([float(val_wpsnr_one(policy, v, r, w))
+                              for v, r, w in zip(val_views, val_refs, ws)]))
+
     tasks = [(scene, p, views, refs, weights)]
     if extra_scenes:
         tasks.extend(extra_scenes)
     losses = []
+    use_val = bool(val_views) and bool(val_refs)
+    best_pol, best_q, best_step = policy, -np.inf, 0
+    curve, stall, early = [], 0, False
+    steps_run = 0
     for s in range(steps):
         sc, sp, vs, rs, ws = tasks[s % len(tasks)]
         i = (s // len(tasks)) % len(vs)
@@ -420,7 +521,26 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
         policy, opt_state, loss = update(policy, opt_state, vs[i], rs[i], w,
                                          sc[0], sc[1], sp)
         losses.append(float(loss))
-    return policy, losses
+        steps_run = s + 1
+        if use_val and steps_run % eval_every == 0:
+            q = val_wpsnr(policy)
+            curve.append([steps_run, q])
+            if q > best_q:
+                best_pol, best_q, best_step = policy, q, steps_run
+                stall = 0
+            else:
+                stall += 1
+            if stall >= patience:
+                early = True
+                break
+    if use_val and best_step > 0:
+        policy = best_pol
+    selection = {"selected_step": best_step if use_val else steps_run,
+                 "best_val_wpsnr": best_q if use_val else None,
+                 "val_wpsnr_curve": curve, "early_stopped": early,
+                 "steps_run": steps_run, "eval_every": eval_every,
+                 "patience": patience, "val_budget_n_fine": n_fine}
+    return policy, losses, selection
 
 
 # --------------------------------------------------------------- persistence

@@ -135,6 +135,50 @@ def trilinear_sample_multi(vols: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, -1)
 
 
+def pack_trilinear_corners(vol: jnp.ndarray) -> jnp.ndarray:
+    """(X, Y, Z) -> (X, Y, Z, 8) corner-row volume for
+    ``trilinear_sample_packed``: channel c = vol[x+dx, y+dy, z+dz] with
+    edge-clamped padding, corner order (dx, dy, dz) =
+    (0,0,0),(1,0,0),(0,1,0),(1,1,0),(0,0,1),(1,0,1),(0,1,1),(1,1,1).
+
+    8x the memory buys a single wide row-gather per trilinear sample
+    instead of 8 scalar gathers — the same amortization that makes the ROI
+    coarse probes affordable (``trilinear_sample_rows``), applied to the
+    fine march. On TPU the per-INDEX overhead dominates gather cost, so
+    one 8-channel take runs ~3x faster than 8 scalar takes; this is what
+    makes protocol-scale (1920x1080) fine-step marches tractable.
+    """
+    p = jnp.pad(vol, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    X, Y, Z = vol.shape
+    chans = [p[dx:dx + X, dy:dy + Y, dz:dz + Z]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    # Reorder to (dx, dy, dz) lexicographic-by-channel spec above:
+    # built order is (dz, dy, dx) outer->inner == same list order as spec.
+    return jnp.stack(chans, axis=-1)
+
+
+def trilinear_sample_packed(vol_rows8: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sampling from a ``pack_trilinear_corners`` volume: one
+    8-channel row-gather per sample, then the identical lerp chain as
+    ``trilinear_sample_base`` (bitwise-equal arithmetic, gather excepted)."""
+    X, Y, Z, _ = vol_rows8.shape
+    q, i0, f = _corner_setup((X, Y, Z), pts)
+    ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    flat = vol_rows8.reshape(-1, 8)
+    idx = (ix * Y + iy) * Z + iz
+    c = jnp.take(flat, idx, axis=0)
+    c000, c100, c010, c110 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    c001, c101, c011, c111 = c[..., 4], c[..., 5], c[..., 6], c[..., 7]
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz
+
+
 def trilinear_sample_rows(vol_rows: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Multi-channel trilinear gather: vol_rows (X, Y, Z, C), pts (..., 3)
     -> (..., C).

@@ -67,7 +67,8 @@ def pareto_figure(scene: str, sweep: dict, verdict: dict, out_png):
     plt.close(fig)
 
 
-def frames_figure(sc, pol, verdict, width, ref_steps, out_png):
+def frames_figure(sc, pol, verdict, width, ref_steps, out_png,
+                  n_coarse=40, probe_stride=4):
     import numpy as np
     import jax.numpy as jnp
     from PIL import Image
@@ -83,8 +84,8 @@ def frames_figure(sc, pol, verdict, width, ref_steps, out_png):
                                     verdict["tuned_n"])
     n_pol = verdict.get("policy_n") or verdict["tuned_n"]
     ours, _ = roi_policy.render_policy(pol, sc["mixed"], sc["feat_rows"], bv,
-                                       p, width, width, 40, n_pol,
-                                       probe_stride=4)
+                                       p, width, width, n_coarse, n_pol,
+                                       probe_stride=probe_stride)
     tiles = [np.asarray(x) for x in (ref, b1, ours)]
     gap = np.full((width, 6, 3), 1.0, np.float32)
     strip = np.concatenate(sum(([t, gap] for t in tiles[:-1]),
@@ -109,7 +110,7 @@ def main(argv=None):
     verdicts = {v["scene"]: v for v in results["verdicts"]}
 
     rows = [("scene", "view_set", "method", "n", "ms", "psnr", "wpsnr",
-             "steps_per_ray")]
+             "ssim", "steps_per_ray")]
     for tag, sweep in results["scenes"].items():
         scene, _, held = tag.partition("-heldout")
         vs = "heldout" if tag.endswith("-heldout") else "train"
@@ -117,6 +118,7 @@ def main(argv=None):
             for pt in sweep[method]:
                 rows.append((scene, vs, method, pt["n"], round(pt["ms"], 2),
                              round(pt["psnr"], 2), round(pt["wpsnr"], 2),
+                             round(pt.get("ssim", 0.0), 4),
                              round(pt.get("steps", 0.0), 1)))
     with open(docs / "experiments.csv", "w", newline="") as f:
         csv.writer(f).writerows(rows)
@@ -139,13 +141,21 @@ def main(argv=None):
 
         shape = tuple(int(x) for x in args.shape.split(","))
         pol = roi_policy.load_policy(docs / "roi_policy.npz")
+        # Render frames at the operating point the eval run recorded, not a
+        # hardcoded one (meta sits next to the exported policy npz).
+        meta_path = docs / "roi_policy_meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        n_coarse = int(meta.get("n_coarse", 40))
+        probe_stride = int(meta.get("probe_stride", 4))
         for sc in roi_protocol.build_scenes(shape):
-            if sc["name"] not in verdicts:
+            name = sc["name"]
+            if name not in verdicts:
                 continue
-            frames_figure(sc, pol, verdicts[sc["name"]], args.width,
-                          args.ref_steps,
-                          img / f"roi_frames_{sc['name']}.png")
-            print(f"[fig] wrote {img / f'roi_frames_{sc['name']}.png'}")
+            out_png = img / ("roi_frames_" + name + ".png")
+            frames_figure(sc, pol, verdicts[name], args.width,
+                          args.ref_steps, out_png,
+                          n_coarse=n_coarse, probe_stride=probe_stride)
+            print(f"[fig] wrote {out_png}")
     return 0
 
 

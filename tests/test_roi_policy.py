@@ -111,12 +111,115 @@ def test_policy_training_reduces_loss(scene):
     refs = [np.asarray(roi_policy.render_fixed(scene["mixed"], v, p,
                                                48, 48, 192)[0])
             for v in views]
-    pol, losses = roi_policy.train_policy(
+    pol, losses, sel = roi_policy.train_policy(
         jax.random.PRNGKey(0), _st(scene), views,
         [jnp.asarray(r) for r in refs], p, 48, 48, steps=30, n_coarse=12,
         n_fine=24, lr=1e-3)
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert np.isfinite(losses).all()
+    assert sel["steps_run"] == 30 and not sel["early_stopped"]
+
+
+def test_policy_training_validation_selection(scene):
+    """Methodology:53: with validation views, training early-stops on val
+    ROI-wPSNR and returns the best-validation checkpoint."""
+    views = [_basis(scene, 0.4, 1.2)]
+    val_views = [_basis(scene, 2.9, 1.0)]
+    p = scene["params"]
+    refs = [jnp.asarray(roi_policy.render_fixed(scene["mixed"], v, p,
+                                                48, 48, 192)[0])
+            for v in views]
+    val_refs = [jnp.asarray(roi_policy.render_fixed(scene["mixed"], v, p,
+                                                    48, 48, 192)[0])
+                for v in val_views]
+    pol, losses, sel = roi_policy.train_policy(
+        jax.random.PRNGKey(0), _st(scene), views, refs, p, 48, 48,
+        steps=40, n_coarse=12, n_fine=24, lr=1e-3,
+        val_views=val_views, val_refs=val_refs, eval_every=5, patience=2)
+    assert sel["selected_step"] >= 5
+    assert len(sel["val_wpsnr_curve"]) >= 2
+    # The returned policy IS the selected checkpoint: its val wPSNR matches
+    # the recorded best.
+    img, _ = roi_policy.render_policy(pol, *_st(scene), val_views[0], p,
+                                      48, 48, 12, 24)
+    err = np.mean((np.asarray(img) - np.asarray(val_refs[0])) ** 2)
+    q = -10.0 * np.log10(max(err, 1e-12))
+    assert abs(q - sel["best_val_wpsnr"]) < 0.15
+
+
+def test_packed_trilinear_matches_base(scene):
+    from mri_raytracer_tpu.ops.trilinear import (pack_trilinear_corners,
+                                                 trilinear_sample_base,
+                                                 trilinear_sample_packed)
+
+    vol = scene["mixed"]
+    packed = pack_trilinear_corners(vol)
+    assert packed.shape == vol.shape + (8,)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (500, 3)) \
+        * (jnp.asarray(vol.shape, jnp.float32) + 1.0) - 1.0
+    a = trilinear_sample_base(vol, pts)
+    b = trilinear_sample_packed(packed, pts)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_render_matches_plain(scene):
+    bv = _basis(scene)
+    from mri_raytracer_tpu.ops.trilinear import pack_trilinear_corners
+
+    packed = pack_trilinear_corners(scene["mixed"])
+    a, _ = roi_policy.render_fixed(scene["mixed"], bv, scene["params"],
+                                   48, 48, 32)
+    b, _ = roi_policy.render_fixed(packed, bv, scene["params"], 48, 48, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_blocked_march_exact(scene):
+    """Blocked (memory-bounded) marches reproduce the one-shot composite
+    exactly for both the fixed baseline and the policy renderer, including
+    non-divisible block sizes."""
+    bv = _basis(scene, 0.9, 0.7)
+    p = scene["params"]
+    a, s_a = roi_policy.render_fixed(scene["mixed"], bv, p, 48, 48, 40)
+    b, s_b = roi_policy.render_fixed(scene["mixed"], bv, p, 48, 48, 40,
+                                     block=16)  # 40 = 2*16 + 8 pad
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert float(s_a) == float(s_b)
+    pol = _constant_policy(scale=0.7, skip_logit=-2.0)
+    c, _ = roi_policy.render_policy(pol, *_st(scene), bv, p, 48, 48, 12, 40,
+                                    CFG, probe_stride=2)
+    d, _ = roi_policy.render_policy(pol, *_st(scene), bv, p, 48, 48, 12, 40,
+                                    CFG, probe_stride=2, block=16)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=1e-5)
+
+
+def test_ssim_jax_matches_scipy():
+    from mri_raytracer_tpu.eval.metrics import ssim, ssim_jax
+
+    rng = np.random.default_rng(0)
+    a = rng.random((40, 52)).astype(np.float32)
+    b = np.clip(a + 0.08 * rng.standard_normal((40, 52)), 0, 1) \
+        .astype(np.float32)
+    want = ssim(a, b)
+    got = float(ssim_jax(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(want - got) < 2e-4
+    assert abs(float(ssim_jax(jnp.asarray(a), jnp.asarray(a))) - 1.0) < 1e-6
+
+
+def test_median_ci():
+    xs = np.arange(1, 32, dtype=np.float64)
+    r = roi_protocol.median_ci(xs)
+    assert r["median"] == 16.0 and r["n"] == 31
+    lo, hi = r["ci95"]
+    assert lo <= 16.0 <= hi and lo > 1.0 and hi < 31.0
+
+
+def test_orbit_views_disjoint(scene):
+    vs = roi_protocol.make_orbit_views(scene["radius"], 8)
+    vh = roi_protocol.make_orbit_views(scene["radius"], 8, held_out=True)
+    assert len(vs) == 8 and len(vh) == 8
+    for a in vs:
+        for b in vh:
+            assert not np.allclose(a, b)
 
 
 def test_protocol_sweep_and_success_rule(scene):
