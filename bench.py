@@ -5,9 +5,11 @@ per TPU chip. Prints ONE JSON line:
   {"metric": "render_fps_1024_256", "value": N, "unit": "fps", "vs_baseline": N/30}
 
 Runs the fastest available renderer backend; golden-image parity of that
-backend vs the XLA oracle is enforced by the test suite, and this script also
-reports the PSNR of the benched backend vs the oracle at a reduced size as a
-secondary sanity figure on stderr.
+backend vs the XLA oracle is enforced by the test suite. This script also
+measures PSNR vs the oracle at the FULL bench configuration over a mini
+pose sweep (orbit faces + the worst-case diagonal) and reports min/median
+with the worst pose named, so the recorded quality artifact cannot flatter
+a single lucky camera.
 """
 
 from __future__ import annotations
@@ -88,26 +90,47 @@ def main() -> None:
           f"backend_kind={renderer.backend}", file=sys.stderr)
 
     # North-star quality half (BASELINE.md): PSNR of the benched backend vs
-    # the lockstep oracle at the FULL bench configuration (one frame).
+    # the lockstep oracle at the FULL bench configuration, over a mini pose
+    # sweep — orbit/face poses plus the exact diagonal (the historical worst
+    # pose, docs/RESULTS_r2.md) — reporting min and median with the worst
+    # pose named. ">= 40 dB" means at ANY pose, not one.
+    worst = worst_pose = med = None
     try:
         from mri_raytracer_tpu.ops import raymarch_xla
 
-        basis = cam.basis()
-        fast = np.clip(np.asarray(renderer.render(basis, p)), 0.0, 1.0)
+        poses = [("orbit", 0.6, 1.2), ("face-x", 0.0, np.pi / 2),
+                 ("face-y", np.pi / 2, np.pi / 2), ("top", 0.3, 0.12),
+                 ("diag-low", 0.85, 0.6), ("diagonal", 0.85, 0.85)]
         dt_oracle = float(np.min(np.asarray(p.voxel_size)))
         p_o = p._replace(step_size=np.float32(dt_oracle))
-        oracle = np.clip(np.asarray(raymarch_xla.render_brats(
-            renderer.mods, renderer.seg, None, basis, p_o, SIZE, SIZE,
-            max_steps=640)), 0.0, 1.0)
-        mse = float(np.mean((fast - oracle) ** 2))
-        psnr = 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
-        print(f"[bench] PSNR vs oracle at {SIZE}^2/{VOL[0]}^3: "
-              f"{psnr:.1f} dB (>=40 required)", file=sys.stderr)
+        psnrs = []
+        for name, th, ph in poses:
+            pose_cam = OrbitalCamera(radius=rp.default_camera_radius(p, VOL),
+                                     theta=th, phi=ph)
+            basis = pose_cam.basis()
+            fast = np.clip(np.asarray(renderer.render(basis, p)), 0.0, 1.0)
+            oracle = np.clip(np.asarray(raymarch_xla.render_brats(
+                renderer.mods, renderer.seg, None, basis, p_o, SIZE, SIZE,
+                max_steps=640)), 0.0, 1.0)
+            mse = float(np.mean((fast - oracle) ** 2))
+            psnrs.append((10.0 * float(np.log10(1.0 / max(mse, 1e-12))),
+                          name))
+        worst, worst_pose = min(psnrs)
+        med = float(np.median([q for q, _ in psnrs]))
+        print(f"[bench] PSNR vs oracle at {SIZE}^2/{VOL[0]}^3 over "
+              f"{len(poses)} poses: min {worst:.1f} dB at '{worst_pose}', "
+              f"median {med:.1f} dB (>=40 required at every pose); "
+              f"per-pose: "
+              + ", ".join(f"{n}={q:.1f}" for q, n in psnrs), file=sys.stderr)
     except Exception as e:  # quality sanity must not break the bench metric
         print(f"[bench] PSNR check failed: {e}", file=sys.stderr)
 
-    print(json.dumps({"metric": "render_fps_1024_256", "value": round(fps, 3),
-                      "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}))
+    rec = {"metric": "render_fps_1024_256", "value": round(fps, 3),
+           "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}
+    if worst is not None:
+        rec.update(psnr_min_db=round(worst, 2), psnr_min_pose=worst_pose,
+                   psnr_median_db=round(med, 2))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
