@@ -190,12 +190,14 @@ def bake_labels(model: ModelBundle, params, modsz: jnp.ndarray,
 def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
                   geom, p: BratsRenderParams, axis: int, out_res: int,
                   stride: int, z_offset=None, nk_global: Optional[int] = None,
-                  block: int = 16) -> jnp.ndarray:
-    """INR labels at strided intermediate positions for EVERY sweep plane.
+                  block: int = 16, kstride: int = 1) -> jnp.ndarray:
+    """INR labels at strided intermediate positions of the sweep planes.
 
-    Returns (n_planes, Op, Op) int32 labels, Op = out_res // stride, in
-    SWEEP order (plane m, flip applied) — the payload for the fused Pallas
-    compositing kernel's field overlay. All dense MXU work: per plane, the
+    Returns (ceil(n_planes / kstride), Op, Op) int32 labels,
+    Op = out_res // stride, in SWEEP order (plane m * kstride, flip
+    applied) — the payload for the fused Pallas compositing kernel's field
+    overlay (``kstride`` > 1: the kernel nearest-upsamples along the sweep,
+    plane m reads row m // kstride). All dense MXU work: per plane, the
     z-scored modalities are resampled by the separable hat matmuls at the
     strided grid and the MLP runs as one (B*Op*Op, H) batch per plane block.
 
@@ -208,11 +210,17 @@ def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
     assert Op * stride == out_res, (out_res, stride)
     sw_mod = sw
     nk_g = nk_global if nk_global is not None else Nk
-    n_planes = Nk + 1
+    n_all = Nk + 1
 
     # Shared crop/slab plane-affine contract with the compositing kernel.
     z, z_glob, _, off_a, sc_a, off_b, sc_b = sw.sweep_plane_affines(
-        geom, p, axis, n_planes, z_offset=z_offset)
+        geom, p, axis, n_all, z_offset=z_offset)
+    n_planes = -(-n_all // kstride)
+    if kstride > 1:
+        ms = jnp.minimum(jnp.arange(n_planes) * kstride, n_all - 1)
+        z, z_glob = z[ms], z_glob[ms]
+        off_a, sc_a, off_b, sc_b = (off_a[ms], sc_a[ms], off_b[ms],
+                                    sc_b[ms])
     zi = jnp.clip(z, 0.0, Nk - 1).astype(jnp.int32)
 
     acl, ach, _, aml, amh = sw_mod._geom_bounds(geom, 0, Na)
@@ -395,13 +403,15 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
                                              "height", "out_res", "has_seg",
                                              "stride", "use_gamma",
                                              "use_clip", "nk_global",
-                                             "inplane_global", "block"))
+                                             "inplane_global", "block",
+                                             "kstride"))
 def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
                          model: ModelBundle, axis: int, width: int,
                          height: int, out_res: int, has_seg: bool,
                          stride: int, use_gamma: bool, use_clip: bool,
                          z_offset=None, nk_global=None, ab_offset=None,
-                         inplane_global=None, block: int = 16):
+                         inplane_global=None, block: int = 16,
+                         kstride: int = 1):
     """Mode-2 fast path: strided INR prediction field (all-MXU pass) fed to
     the fused Pallas compositing kernel as a field overlay, then the final
     warp. Accepts the same crop contract as ``shearwarp.render_prepared``."""
@@ -426,14 +436,16 @@ def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
                              frustum_wh=(width, height))
     field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
                           stride, z_offset=z_offset, nk_global=nk_global,
-                          block=block)
-    # b-upsample by repeat (the kernel row-upsamples via one-hot matmul).
-    fieldb = jnp.repeat(field.astype(jnp.bfloat16), stride, axis=2)
+                          block=block, kstride=kstride)
+    # The kernel streams the field at stride-S width and upsamples rows AND
+    # columns in-kernel (floor one-hot matmuls) — no host-side repeat.
     C, T = sweep_composite_pallas(mixed_s, seg_s if has_seg else None, None,
                                   geom, p, axis, out_res, use_gamma,
                                   use_clip, z_offset=z_offset,
-                                  nk_global=nk_global, pred_field=fieldb,
-                                  field_stride=stride)
+                                  nk_global=nk_global,
+                                  pred_field=field.astype(jnp.bfloat16),
+                                  field_stride=stride,
+                                  field_kstride=kstride)
     return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
                              use_pallas=jax.default_backend() == "tpu")
 
@@ -456,7 +468,8 @@ class NeuralBratsRenderer:
     def __init__(self, mods_disp, mods_zscore, seg, model: ModelBundle,
                  params, width: int = 1024, height: int = 1024,
                  pred_stride: int = 4, backend: str = "auto",
-                 crop: str = "content", sweep_res: Optional[int] = None):
+                 crop: str = "content", sweep_res: Optional[int] = None,
+                 pred_kstride: int = 1):
         import numpy as np
 
         self.mods = jnp.asarray(mods_disp, jnp.float32)
@@ -467,6 +480,7 @@ class NeuralBratsRenderer:
         self.width = int(width)
         self.height = int(height)
         self.stride = int(pred_stride)
+        self.kstride = int(pred_kstride)
         self.sweep_res = sweep_res
         if backend == "auto":
             backend = "fused" if jax.default_backend() == "tpu" else "scan"
@@ -607,7 +621,8 @@ class NeuralBratsRenderer:
             nk_global=nk if slab else None,
             ab_offset=(jnp.float32(a_lo), jnp.float32(b_lo))
             if inplane_cropped else None,
-            inplane_global=(na_g, nb_g) if inplane_cropped else None)
+            inplane_global=(na_g, nb_g) if inplane_cropped else None,
+            kstride=self.kstride)
 
     def render_numpy(self, basis, p) -> "np.ndarray":
         import numpy as np

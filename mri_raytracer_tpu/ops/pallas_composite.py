@@ -47,12 +47,20 @@ from mri_raytracer_tpu.render.params import BratsRenderParams
 
 def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                  tile_j: int, has_seg: bool, has_pred: bool, use_gamma: bool,
-                 use_clip: bool, field_stride: int = 0):
+                 use_clip: bool, field_stride: int = 0,
+                 field_kstride: int = 1):
     # field_stride > 0: the pred stream is a PREDICTION FIELD — per-plane
-    # labels at stride-S intermediate positions, (n_planes, Op, out_res)
-    # with Op = out_res // S (neural march mode 2) — upsampled here by a
-    # floor(i/S) one-hot matmul instead of the volume-affine nearest weights.
+    # labels at stride-S intermediate positions, (n_fplanes, Op, Op) with
+    # Op = out_res // S (neural march mode 2) — upsampled here by TWO
+    # one-hot matmuls (floor(i/S) rows, floor(j/S) columns). Streaming the
+    # field at stride-S width cuts its DMA traffic S x vs pre-repeating on
+    # the host (the stream is re-read once per i-tile, so width dominates
+    # its bandwidth cost). field_kstride: the field holds every K-th sweep
+    # plane only (plane m reads field row m // K — labels vary slowly along
+    # the sweep, so nearest-plane upsampling costs little quality for a
+    # K x cut of the predict_field pass).
     Op = out_res // field_stride if field_stride else 0
+    tjp = tile_j // field_stride if field_stride else 0
     def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
                vmag_ref, dt_ref, r_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
@@ -88,6 +96,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             iota_f = jax.lax.broadcasted_iota(jnp.int32, (tile_i, Op), 1) \
                 .astype(jnp.float32)
             wan_f = (qf == iota_f).astype(jnp.float32)  # (tile_i, Op)
+            # Column-upsample one-hot: output column j reads field col j//S.
+            iota_fc = jax.lax.broadcasted_iota(jnp.int32, (tjp, tile_j), 0) \
+                .astype(jnp.float32)
+            qfc = jnp.floor((tj * tile_j + iota_j) / float(field_stride)) \
+                - tj * tjp
+            wbn_f = (iota_fc == qfc).astype(jnp.float32)  # (tjp, tile_j)
 
         ww = sc_ref[0]
         wl = sc_ref[1]
@@ -115,6 +129,11 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                 (t1b_hbm, buf_ref, sem_ref),
                 (t1nb_hbm, bufn_ref, semn_ref),
                 (t1pb_hbm, bufp_ref, semp_ref)][stream]
+            if stream == 2 and field_stride:
+                # Field stream: stride-S width, every K-th sweep plane.
+                return pltpu.make_async_copy(
+                    src.at[m // field_kstride, :, pl.ds(tj * tjp, tjp)],
+                    dst.at[slot], sem.at[slot])
             return pltpu.make_async_copy(
                 src.at[m, :, pl.ds(tj * tile_j, tile_j)],
                 dst.at[slot], sem.at[slot])
@@ -210,9 +229,13 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                     qan = jnp.round(jnp.clip(pos_a, a_clamp_lo, a_clamp_hi_n))
                     wan = (qan == iota_n).astype(jnp.float32)  # (O, Na)
 
-                def overlay(wmat, bufx_ref, T, rate):
+                def overlay(wmat, bufx_ref, T, rate, wcol=None):
                     lab = jnp.dot(wmat.astype(jnp.bfloat16), bufx_ref[slot],
                                   preferred_element_type=jnp.float32)
+                    if wcol is not None:  # stride-S field: column upsample
+                        lab = jnp.dot(lab.astype(jnp.bfloat16),
+                                      wcol.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
                     idx = jnp.round(lab)
                     a_lab = jnp.zeros_like(lab)
                     r = jnp.zeros_like(lab)
@@ -235,7 +258,8 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                     T = overlay(wan, bufn_ref, T, (1.0, show_seg))
                 if has_pred:
                     T = overlay(wan_f if field_stride else wan, bufp_ref, T,
-                                (1.5, show_pred))
+                                (1.5, show_pred),
+                                wcol=wbn_f if field_stride else None)
                 t_ref[:] = T
                 alive_ref[0] = (jnp.max(T) > 0.01).astype(jnp.int32)
             return 0
@@ -257,6 +281,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                            nk_global: Optional[int] = None,
                            pred_field: Optional[jnp.ndarray] = None,
                            field_stride: int = 0,
+                           field_kstride: int = 1,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for shearwarp.sweep_composite (ss=1).
 
@@ -267,10 +292,13 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     contribute nothing when transfer(0) == 0) and for sharded volumes.
 
     ``pred_field``/``field_stride``: neural-march mode 2 — per-plane INR
-    labels at stride-S intermediate positions, (n_planes, Op, out_res) in
+    labels at stride-S intermediate positions,
+    (ceil(n_planes / field_kstride), Op, Op) with Op = out_res // S, in
     SWEEP order (``neural_march.predict_field``), composited as the pred
-    overlay via in-kernel floor(i/S) upsampling. Mutually exclusive with
-    ``pred_s``.
+    overlay via in-kernel floor(i/S) / floor(j/S) one-hot upsampling
+    (streamed at stride-S width — S x less field DMA). ``field_kstride``:
+    the field covers every K-th sweep plane; plane m reads row m // K.
+    Mutually exclusive with ``pred_s``.
     """
     Nk, Na, Nb = mixed_s.shape
     assert pred_s is None or pred_field is None
@@ -280,8 +308,13 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     has_pred = pred_s is not None or pred_field is not None
     if pred_field is not None:
         na_pred = pred_field.shape[1]
+        w_pred = pred_field.shape[2]
+        assert w_pred == out_res // field_stride, (pred_field.shape,
+                                                   out_res, field_stride)
+        assert pred_field.shape[0] == -(-n_planes // field_kstride)
     else:
         na_pred = Na
+        w_pred = out_res
     # Tiling: the per-plane a-weight build — the kernel's dominant VPU cost
     # after the per-pixel transfer math — is (tile_i, Na) PER PROGRAM, i.e.
     # n_tj * out_res * Na per plane in total. So tile_j spans the FULL row
@@ -290,7 +323,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # The price is re-reading the t1b slabs once per i-tile (~0.1 ms/100 MB
     # of HBM at 1024^2, cheap next to the VPU work saved).
     tile_j = out_res
-    stream_bytes = 2 * (2 * Na + na_pred) * tile_j * 2  # bf16 double buffers
+    stream_bytes = 2 * (2 * Na * tile_j + na_pred * w_pred) * 2  # bf16 x2buf
     # Per-program VMEM: 6 f32 accumulators (C gray, 3x label, T, started) +
     # the pipeline's double-buffered blocks (vmag, dt, r in; the (4, ti, tj)
     # out) — 6 + 2*(3 + 4) = 20 f32 planes of (tile_i, tile_j) — plus the
@@ -340,7 +373,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     else:
         t1nb = jnp.zeros((1, Na, out_res), jnp.bfloat16)
     if pred_field is not None:
-        t1pb = pred_field.astype(jnp.bfloat16)  # (n_planes, Op, out_res)
+        t1pb = pred_field.astype(jnp.bfloat16)  # (n_fplanes, Op, Op)
     elif pred_s is not None:
         predsl = jnp.take(pred_s, zi, axis=0).astype(jnp.bfloat16)
         t1pb = jnp.einsum("knb,kob->kno", predsl, Wbn.astype(jnp.bfloat16),
@@ -374,7 +407,9 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         scratch_shapes=[
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1b double buffer
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1nb double buffer
-            pltpu.VMEM((2, na_pred, tile_j), jnp.bfloat16),  # t1pb/field buf
+            pltpu.VMEM((2, na_pred,
+                        tile_j // field_stride if pred_field is not None
+                        else tile_j), jnp.bfloat16),  # t1pb/field buffer
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # C gray
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L r
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L g
@@ -390,7 +425,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     out = pl.pallas_call(
         _make_kernel(n_planes, Na, out_res, tile_i, tile_j, has_seg, has_pred,
                      use_gamma, use_clip,
-                     field_stride if pred_field is not None else 0),
+                     field_stride if pred_field is not None else 0,
+                     field_kstride),
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

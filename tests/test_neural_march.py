@@ -163,18 +163,35 @@ def test_fused_field_path_matches_scan(scene):
                              frustum_wh=(W, H))
     field = neural_march.predict_field(model, params, modsz_s, geom, p,
                                        axis, O, S, block=8)
-    fieldb = jnp.repeat(field.astype(jnp.bfloat16), S, axis=2)
 
     img_scan = np.asarray(neural_march.render_brats_neural(
         disp, zsc, seg, model, params, b, p, W, H, out_res=O, pred_stride=S,
         geom=geom, field=field))
     C, T = sweep_composite_pallas(mixed_s, seg_s, None, geom, p, axis, O,
                                   use_gamma=False, use_clip=False,
-                                  interpret=True, pred_field=fieldb,
+                                  interpret=True,
+                                  pred_field=field.astype(jnp.bfloat16),
                                   field_stride=S)
     img_fused = np.asarray(sw.warp_to_screen(C, geom, b, axis, W, H,
                                              p.bg_color))
     assert psnr(img_fused, img_scan) >= 40.0
+
+    # kstride=2 (field on every 2nd plane, nearest along the sweep) stays
+    # close to the exact per-plane field. The bound is loose because this
+    # random model's labels are spatially noisy (worst case for plane
+    # skipping — trained INRs are far smoother); a row-mapping bug would
+    # land way below it (misaligned planes composite unrelated labels).
+    field2 = neural_march.predict_field(model, params, modsz_s, geom, p,
+                                        axis, O, S, block=8, kstride=2)
+    assert field2.shape[0] == -(-field.shape[0] // 2)
+    C2, _ = sweep_composite_pallas(mixed_s, seg_s, None, geom, p, axis, O,
+                                   use_gamma=False, use_clip=False,
+                                   interpret=True,
+                                   pred_field=field2.astype(jnp.bfloat16),
+                                   field_stride=S, field_kstride=2)
+    img_k2 = np.asarray(sw.warp_to_screen(C2, geom, b, axis, W, H,
+                                          p.bg_color))
+    assert psnr(img_k2, img_fused) >= 24.0
     # The prediction overlay must actually be present in both.
     p_off = p._replace(show_pred=np.float32(0.0))
     img_scan_off = np.asarray(neural_march.render_brats_neural(
