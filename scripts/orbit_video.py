@@ -131,9 +131,15 @@ def main(argv=None):
     ap.add_argument("--fps", type=int, default=12)
     ap.add_argument("--which", default="all", choices=["all", "roi", "brats"])
     ap.add_argument("--docs", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container's "
+                    "sitecustomize forces the TPU platform, so an env var "
+                    "alone is not enough)")
     args = ap.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     except Exception:

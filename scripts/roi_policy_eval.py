@@ -52,9 +52,14 @@ def main(argv=None):
                     choices=["showcase", "adversarial"])
     ap.add_argument("--ref-cache", default="/tmp/roi_refs")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize forces the "
+                    "TPU platform, so an env var alone is not enough)")
     args = ap.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
