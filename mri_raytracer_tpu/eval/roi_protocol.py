@@ -170,7 +170,8 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
     scenes = []
 
     def add(name, mixed, seg):
-        from mri_raytracer_tpu.ops.trilinear import pack_trilinear_corners
+        from mri_raytracer_tpu.ops.trilinear import (mip_downsample2,
+                                                     pack_trilinear_corners)
 
         feats = roi_policy.build_feature_volumes(mixed, seg)
         p = rp.default_render_params(mixed.shape, show_seg=False)
@@ -182,6 +183,9 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
             # (8x memory for ~3x march speed — what makes the 1920x1080
             # protocol evaluation affordable).
             "mixed_p": pack_trilinear_corners(jnp.asarray(mixed)),
+            # 2x mip (packed) — the policy's optional LOD blend target.
+            "mixed_p1": pack_trilinear_corners(
+                mip_downsample2(jnp.asarray(mixed))),
             "feat_rows": jnp.asarray(
                 roi_policy.pack_feature_rows(mixed, feats)),
             "P": jnp.asarray(feats["P"]),
@@ -361,7 +365,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                  height: int = 256, ref_steps: int = 512,
                  n_frames: int = 30, cfg=roi_policy.PolicyConfig(),
                  n_coarse: int = 32, probe_stride: int = 1,
-                 block: Optional[int] = None, ref_cache=None) -> Dict:
+                 block: Optional[int] = None, ref_cache=None,
+                 lod: bool = False) -> Dict:
     """Per-budget baseline-vs-policy measurements on one scene, at the
     showcase-plan reporting protocol (``docs/showcase-plan.md:41-46``):
     per-frame PSNR / ROI-weighted PSNR / SSIM vs the fine reference over
@@ -375,11 +380,17 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
 
     ``block``: sample-block size for the memory-bounded marches (required
     at 1080p); ``ref_cache``: directory for disk-cached reference frames.
+    ``lod``: also measure a 'policy_lod' series with the policy's optional
+    LOD output enabled (Methodology:43; mip blend toward
+    ``scene['mixed_p1']``) — the with/without-LOD ablation.
     """
     p = p or scene["params"]
     mixed = scene_tuple(scene)[0]
     st = scene_tuple(scene)
     tag = scene.get("name", "scene")
+    lod_vol = scene.get("mixed_p1") if lod else None
+    kinds = ("baseline", "policy") + (("policy_lod",) if lod_vol is not None
+                                      else ())
 
     refs, wmaps = [], []
     for bv in views:
@@ -404,13 +415,14 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
             per_frame.append(1e3 * (time.perf_counter() - t0) / 3)
         return median_ci(per_frame)
 
-    out = {"budgets": list(budgets), "baseline": [], "policy": [],
+    out = {"budgets": list(budgets),
            "ref_steps": ref_steps, "width": width, "height": height,
            "quality_frames": len(views), "timing_frames": n_frames}
+    for kind in kinds:
+        out[kind] = []
     for n in budgets:
-        rows = {"baseline": {"psnr": [], "wpsnr": [], "ssim": [],
-                             "steps": []},
-                "policy": {"psnr": [], "wpsnr": [], "ssim": [], "steps": []}}
+        rows = {k: {"psnr": [], "wpsnr": [], "ssim": [], "steps": []}
+                for k in kinds}
         for bv, ref, wmap in zip(views, refs, wmaps):
             bvj = jnp.asarray(bv)
             img, steps = roi_policy.render_fixed(mixed, bvj, p, width,
@@ -420,25 +432,29 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
             rows["baseline"]["wpsnr"].append(q[1])
             rows["baseline"]["ssim"].append(q[2])
             rows["baseline"]["steps"].append(float(steps))
-            pimg, stats = roi_policy.render_policy(
-                policy, *st, bvj, p, width, height, n_coarse, n, cfg,
-                probe_stride=probe_stride, block=block)
-            q = _metrics_of(pimg, ref, wmap)
-            rows["policy"]["psnr"].append(q[0])
-            rows["policy"]["wpsnr"].append(q[1])
-            rows["policy"]["ssim"].append(q[2])
-            rows["policy"]["steps"].append(float(stats["steps_per_ray"]))
+            for kind in kinds[1:]:
+                pimg, stats = roi_policy.render_policy(
+                    policy, *st, bvj, p, width, height, n_coarse, n, cfg,
+                    probe_stride=probe_stride, block=block,
+                    lod_vol=lod_vol if kind == "policy_lod" else None)
+                q = _metrics_of(pimg, ref, wmap)
+                rows[kind]["psnr"].append(q[0])
+                rows[kind]["wpsnr"].append(q[1])
+                rows[kind]["ssim"].append(q[2])
+                rows[kind]["steps"].append(float(stats["steps_per_ray"]))
         # Frame time per budget is view-independent (fixed sample counts);
         # timed at the first pose.
         bv0 = jnp.asarray(views[0])
         ms = {"baseline": timed_ms(
                   lambda: roi_policy.render_fixed(mixed, bv0, p, width,
-                                                  height, n, block=block)[0]),
-              "policy": timed_ms(
-                  lambda: roi_policy.render_policy(
-                      policy, *st, bv0, p, width, height, n_coarse, n, cfg,
-                      probe_stride=probe_stride, block=block)[0])}
-        for kind in ("baseline", "policy"):
+                                                  height, n, block=block)[0])}
+        for kind in kinds[1:]:
+            lv = lod_vol if kind == "policy_lod" else None
+            ms[kind] = timed_ms(
+                lambda lv=lv: roi_policy.render_policy(
+                    policy, *st, bv0, p, width, height, n_coarse, n, cfg,
+                    probe_stride=probe_stride, block=block, lod_vol=lv)[0])
+        for kind in kinds:
             r = rows[kind]
             rec = {"n": n, "steps": float(np.mean(r["steps"])),
                    "ms": ms[kind]["median"], "ms_ci": ms[kind]["ci95"]}

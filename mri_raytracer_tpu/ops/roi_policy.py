@@ -64,7 +64,8 @@ class PolicyConfig(NamedTuple):
 
 
 def init_policy(key, cfg: PolicyConfig = PolicyConfig()) -> Dict[str, jnp.ndarray]:
-    """Tiny policy MLP: 8 -> hidden -> 2 (dt-scale logit, skip logit).
+    """Tiny policy MLP: 8 -> hidden -> 3 (dt-scale logit, skip logit,
+    LOD-offset logit — the methodology's optional third output, :43).
 
     Occupancy-informed initialization: dt-scale pinned at 1 (uniform
     stratified sampling is optimal for fully-visible smooth content) and
@@ -83,19 +84,25 @@ def init_policy(key, cfg: PolicyConfig = PolicyConfig()) -> Dict[str, jnp.ndarra
     W1 = jax.random.normal(k1, (N_FEATURES, cfg.hidden)) * (0.05 * s1)
     W1 = W1.at[7, 0].set(-50.0)  # hidden 0 = relu(1 - 50*occupancy)
     b1 = jnp.zeros((cfg.hidden,)).at[0].set(1.0)
-    W2 = jax.random.normal(k2, (cfg.hidden, 2)) * 0.01
+    W2 = jax.random.normal(k2, (cfg.hidden, 3)) * 0.01
     W2 = W2.at[0, 1].set(8.0)  # -> skip logit
     W2 = W2.at[0, 0].set(0.0)  # keep dt-scale at 1 regardless of occupancy
+    W2 = W2.at[0, 2].set(0.0)  # LOD offset starts neutral
     return {"W1": W1, "b1": b1, "W2": W2,
-            "b2": jnp.asarray([b_scale, -4.0], jnp.float32)}
+            "b2": jnp.asarray([b_scale, -4.0, 0.0], jnp.float32)}
 
 
 def apply_policy(params, feats: jnp.ndarray, cfg: PolicyConfig,
-                 dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """feats (..., 8) -> (dt_scale in [scale_min, scale_max], skip in [0,1]).
+                 dtype=jnp.bfloat16
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """feats (..., 8) -> (dt_scale in [scale_min, scale_max], skip in [0,1],
+    lod_offset in [-1, 1]).
 
-    Runs in bfloat16 (the TPU analog of the reference's FP16 weight path,
-    Methodology:44) with float32 outputs.
+    ``lod_offset`` shifts the dt-matched mip level of the fine march
+    (see ``render_policy(lod_vol=...)``); checkpoints saved with the older
+    2-output head load fine and report a neutral 0 offset. Runs in bfloat16
+    (the TPU analog of the reference's FP16 weight path, Methodology:44)
+    with float32 outputs.
     """
     x = feats.astype(dtype)
     h = jax.nn.relu(x @ params["W1"].astype(dtype) + params["b1"].astype(dtype))
@@ -104,7 +111,11 @@ def apply_policy(params, feats: jnp.ndarray, cfg: PolicyConfig,
     s = jax.nn.sigmoid(out[..., 0])
     dt_scale = cfg.scale_min + (cfg.scale_max - cfg.scale_min) * s
     skip = jax.nn.sigmoid(out[..., 1])
-    return dt_scale, skip
+    if params["W2"].shape[-1] >= 3:
+        lod_off = 2.0 * jax.nn.sigmoid(out[..., 2]) - 1.0
+    else:
+        lod_off = jnp.zeros_like(skip)
+    return dt_scale, skip, lod_off
 
 
 # ------------------------------------------------------------ feature volumes
@@ -183,19 +194,31 @@ def _ray_setup(basis: CameraBasis, p: BratsRenderParams, dims,
     return ro, rd, t0, t1, valid, bmin
 
 
-def _march_composite(mixed, pidx, dt, p, valid):
+def _sample_any(vol, pidx):
+    if vol.ndim == 4:
+        from mri_raytracer_tpu.ops.trilinear import trilinear_sample_packed
+        return trilinear_sample_packed(vol, pidx)
+    return trilinear_sample_base(vol, pidx)
+
+
+def _march_composite(mixed, pidx, dt, p, valid, lod_vol=None, lam=None):
     """Shared fine-phase compositing: trilinear sample -> transfer ->
     alpha -> front-to-back (O(N) adjoint via ops/diffrender).
 
     ``mixed`` may be the plain (X, Y, Z) volume or the (X, Y, Z, 8)
     corner-packed form (``ops.trilinear.pack_trilinear_corners``) — the
     packed form does one wide row-gather per sample instead of 8 scalar
-    gathers (~3x faster march; required at protocol scale)."""
-    if mixed.ndim == 4:
-        from mri_raytracer_tpu.ops.trilinear import trilinear_sample_packed
-        v = trilinear_sample_packed(mixed, pidx)
-    else:
-        v = trilinear_sample_base(mixed, pidx)
+    gathers (~3x faster march; required at protocol scale).
+
+    ``lod_vol``/``lam``: optional LOD blend — the sample lerps toward the
+    2x-downsampled mip (``ops.trilinear.mip_downsample2``) by per-sample
+    level ``lam`` in [0, 1] (the policy's optional LOD output,
+    Methodology:43). Level-1 index space is voxel-center aligned:
+    l1 = (l0 - 0.5) / 2."""
+    v = _sample_any(mixed, pidx)
+    if lod_vol is not None:
+        v1 = _sample_any(lod_vol, (pidx - 0.5) * 0.5)
+        v = v + (v1 - v) * lam
     val = transfer_function(v, p.ww, p.wl, p.gamma)
     a = 1.0 - jnp.exp(-val * p.intensity_alpha * dt)
     a = a * valid[..., None].astype(jnp.float32)
@@ -261,7 +284,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                   width: int, height: int, n_coarse: int = 32,
                   n_fine: int = 64, cfg: PolicyConfig = PolicyConfig(),
                   roi_clamp: bool = True, probe_stride: int = 1,
-                  block: Optional[int] = None,
+                  block: Optional[int] = None, lod_vol=None,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Policy-guided adaptive render. Returns (image, stats).
 
@@ -273,6 +296,13 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     'steps_per_ray' — effective useful samples per ray (fine samples
     landing in unskipped segments + the amortized coarse probes);
     'mean_scale', 'mean_skip' — policy output summaries.
+
+    ``lod_vol``: optional 2x mip of ``mixed`` (same plain/packed form) —
+    enables the policy's LOD output (Methodology:43): each fine sample
+    blends toward the mip by lam = clip(log2(dt in voxels) + lod_offset,
+    0, 1), i.e. sampling at the cone-matched prefilter level when the
+    realized spacing is coarser than a voxel, shifted by the policy's
+    per-ray learned offset.
     """
     from mri_raytracer_tpu.ops.trilinear import trilinear_sample_rows
     from mri_raytracer_tpu.render.camera import unpack_basis
@@ -315,7 +345,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     occ_c = probe[..., 7]  # dilated occupancy (safe-skip signal)
     feats = jnp.stack([val_c, g_c, align, T_in, depth, P_c, B_c, occ_c],
                       axis=-1)  # (h, w, Nc, 8)
-    dt_scale, skip = apply_policy(policy, feats, cfg)
+    dt_scale, skip, lod_off = apply_policy(policy, feats, cfg)
 
     # ---- density + ROI clamps
     rho = (1.0 - skip) / dt_scale
@@ -330,6 +360,25 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     # 40 dB (skipped contributions are ~T-weighted), 1e-3 keeps the ceiling
     # past 60 dB while still reclaiming samples from fully-opaque tails.
     rho = jnp.where(T_in > 1e-3, rho, cfg.skip_floor * 0.5)
+
+    if lod_vol is not None:
+        # Per-ray LOD offset: density-weighted over probes (fine samples
+        # land where rho is high), shared across the S x S probe block.
+        w_rho = rho / jnp.maximum(jnp.sum(rho, -1, keepdims=True), 1e-6)
+        lod_ray = jnp.sum(w_rho * lod_off, -1)  # (h, w)
+        if S > 1:
+            lod_ray = jnp.repeat(jnp.repeat(lod_ray, S, 0), S,
+                                 1)[:height, :width]
+        vox_m = jnp.mean(p.voxel_size)
+
+        def _lam(dt_f):
+            # Textbook mip level = log2(sample footprint in voxels): level
+            # 1 (the 2x mip) matches 2-voxel spacing, so lam hits 1.0 at
+            # dt = 2 voxels and 0 at <= 1 voxel (plus the learned offset).
+            return jnp.clip(jnp.log2(jnp.maximum(dt_f / vox_m, 1e-6))
+                            + lod_ray[..., None], 0.0, 1.0)
+    else:
+        _lam = None
 
     # ---- fine placement + march (rho shared per S x S block; each ray
     # keeps its own t bins). The CDF inversion runs once per probe BLOCK in
@@ -370,7 +419,9 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
             t_f, dt_f = _sample_block(jnp.minimum(u_blk, 1.0 - 1e-6))
             pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
             pidx_f = (pos_f - bmin) / p.voxel_size
-            Cb, Tb = _march_composite(mixed, pidx_f, dt_f * in_n, p, valid)
+            Cb, Tb = _march_composite(
+                mixed, pidx_f, dt_f * in_n, p, valid, lod_vol=lod_vol,
+                lam=_lam(dt_f) if lod_vol is not None else None)
             return (C + T[..., None] * Cb, T * Tb), None
 
         C0 = jnp.zeros((height, width, 3), jnp.float32)
@@ -382,7 +433,9 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
         t_f, dt_f = _sample_block(u)
         pos_f = ro[..., None, :] + t_f[..., None] * rd[..., None, :]
         pidx_f = (pos_f - bmin) / p.voxel_size
-        C, T = _march_composite(mixed, pidx_f, dt_f, p, valid)
+        C, T = _march_composite(
+            mixed, pidx_f, dt_f, p, valid, lod_vol=lod_vol,
+            lam=_lam(dt_f) if lod_vol is not None else None)
 
     # ---- stats: useful samples = fine samples in live segments.
     valid_c = valid[::S, ::S] if S > 1 else valid
@@ -555,8 +608,10 @@ def save_policy(path, policy, cfg: PolicyConfig = PolicyConfig(),
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **{k: np.asarray(v, np.float16)
                       for k, v in policy.items()})
-    side = {"dims": [N_FEATURES, cfg.hidden, 2], "activation": "relu",
-            "outputs": ["dt_scale_sigmoid", "skip_sigmoid"],
+    n_out = int(np.asarray(policy["W2"]).shape[-1])
+    side = {"dims": [N_FEATURES, cfg.hidden, n_out], "activation": "relu",
+            "outputs": ["dt_scale_sigmoid", "skip_sigmoid",
+                        "lod_offset_2sigmoid_minus_1"][:n_out],
             "scale_range": [cfg.scale_min, cfg.scale_max],
             "layout": "row_major", "dtype": "float16", **(meta or {})}
     path.with_name(f"{path.stem}_meta.json").write_text(

@@ -215,3 +215,15 @@ def trilinear_sample_rows(vol_rows: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarra
     c0 = c00 + (c10 - c00) * fy
     c1 = c01 + (c11 - c01) * fy
     return c0 + (c1 - c0) * fz
+
+
+def mip_downsample2(vol: jnp.ndarray) -> jnp.ndarray:
+    """One mip level: 2x average-pool with edge padding to even dims.
+    The level-1 volume of the ROI policy's optional LOD output
+    (``docs/Methodology-ROI-Neural-Volumetric-Rendering.md:43`` "optional
+    LOD index/scale") — a prefiltered field whose footprint matches ~2x
+    coarser sampling, the classical cone-tracing antialias knob."""
+    X, Y, Z = vol.shape
+    p = jnp.pad(vol, ((0, X % 2), (0, Y % 2), (0, Z % 2)), mode="edge")
+    Xp, Yp, Zp = p.shape
+    return p.reshape(Xp // 2, 2, Yp // 2, 2, Zp // 2, 2).mean((1, 3, 5))

@@ -167,6 +167,29 @@ def main(argv=None):
             ref_cache=args.ref_cache)
         results["scenes"][sc["name"] + "-heldout"] = sweep_h
 
+    # ---- LOD ablation (Methodology:43 optional output): primary scene at
+    # the operating budgets, with vs without the mip blend.
+    lod_line = None
+    v0 = verdicts[0]
+    ab_budgets = sorted({v0["tuned_n"]} |
+                        ({v0["policy_n"]} if v0.get("policy_n") else set()))
+    vs0 = roi_protocol.make_orbit_views(scenes[0]["radius"],
+                                        max(10, args.quality_frames // 3))
+    sweep_lod = roi_protocol.pareto_sweep(
+        pol, scenes[0], vs0, ab_budgets, width=args.width,
+        height=args.height, ref_steps=args.ref_steps,
+        n_frames=max(6, args.timing_frames // 3), n_coarse=args.n_coarse,
+        probe_stride=stride, block=args.block, ref_cache=args.ref_cache,
+        lod=True)
+    results["lod_ablation"] = sweep_lod
+    pl_, plod = sweep_lod["policy"][-1], sweep_lod["policy_lod"][-1]
+    lod_line = (f"LOD ablation ({scenes[0]['name']}, n={pl_['n']}): policy "
+                f"{pl_['wpsnr']:.2f} dB wPSNR / {pl_['ms']:.1f} ms -> "
+                f"+LOD {plod['wpsnr']:.2f} dB / {plod['ms']:.1f} ms "
+                f"(delta {plod['wpsnr'] - pl_['wpsnr']:+.2f} dB, "
+                f"{plod['ms'] - pl_['ms']:+.1f} ms).")
+    print(f"[roi] {lod_line}")
+
     n_ok = sum(v["success"] for v in verdicts if v["counts_toward_bar"])
     results["verdicts"] = verdicts
     results["success_bar"] = {"target": ">=1.8x at <=0.5 dB on >=3/4 scenes",
@@ -217,8 +240,10 @@ def main(argv=None):
             f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} |")
     lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
               f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar "
-              f"at protocol resolution and frame counts).",
-              "", "Full per-budget Pareto data (PSNR/wPSNR/SSIM/ms, each "
+              f"at protocol resolution and frame counts)."]
+    if lod_line:
+        lines += ["", lod_line]
+    lines += ["", "Full per-budget Pareto data (PSNR/wPSNR/SSIM/ms, each "
               f"with CIs) per scene and per held-out orbit: "
               f"`roi_results{suffix}.json`."]
     md = out_dir / ("ROI_RESULTS_hard.md" if suffix else "ROI_RESULTS.md")

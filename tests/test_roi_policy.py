@@ -45,11 +45,16 @@ def _st(scene):
 def test_policy_output_ranges():
     pol = roi_policy.init_policy(jax.random.PRNGKey(0))
     feats = jax.random.normal(jax.random.PRNGKey(1), (64, 8))
-    scale, skip = roi_policy.apply_policy(pol, feats, CFG)
+    scale, skip, lod = roi_policy.apply_policy(pol, feats, CFG)
     assert scale.shape == (64,) and skip.shape == (64,)
     assert float(scale.min()) >= CFG.scale_min - 1e-3
     assert float(scale.max()) <= CFG.scale_max + 1e-3
     assert float(skip.min()) >= 0.0 and float(skip.max()) <= 1.0
+    assert float(jnp.abs(lod).max()) <= 1.0
+    # A legacy 2-output head loads and reports a neutral LOD offset.
+    pol2 = dict(pol, W2=pol["W2"][:, :2], b2=pol["b2"][:2])
+    _, _, lod2 = roi_policy.apply_policy(pol2, feats, CFG)
+    assert float(jnp.abs(lod2).max()) == 0.0
 
 
 def _constant_policy(scale=1.0, skip_logit=-30.0):
@@ -253,13 +258,39 @@ def test_policy_save_load_fp16(tmp_path):
     back = roi_policy.load_policy(tmp_path / "pol.npz")
     import json
     meta = json.loads((tmp_path / "pol_meta.json").read_text())
-    assert meta["dims"] == [8, roi_policy.PolicyConfig().hidden, 2]
+    assert meta["dims"] == [8, roi_policy.PolicyConfig().hidden, 3]
     # fp16 round trip within half precision
     for k in pol:
         np.testing.assert_allclose(np.asarray(back[k]), np.asarray(pol[k]),
                                    atol=1e-2)
     # outputs survive the export (the reference's parity-test requirement)
     feats = jax.random.normal(jax.random.PRNGKey(2), (32, 8))
-    s0, k0 = roi_policy.apply_policy(pol, feats, roi_policy.PolicyConfig())
-    s1, k1 = roi_policy.apply_policy(back, feats, roi_policy.PolicyConfig())
+    s0, k0, _ = roi_policy.apply_policy(pol, feats, roi_policy.PolicyConfig())
+    s1, k1, _ = roi_policy.apply_policy(back, feats, roi_policy.PolicyConfig())
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-2)
+
+
+def test_lod_blend(scene):
+    """LOD (Methodology:43 optional output): lod_vol enables the mip blend;
+    a strongly negative offset (lam -> 0) reproduces the no-LOD image, and
+    engaging the blend changes the render toward the prefiltered field."""
+    from mri_raytracer_tpu.ops.trilinear import mip_downsample2
+
+    bv = _basis(scene, 1.1, 0.9)
+    p = scene["params"]
+    mip = mip_downsample2(scene["mixed"])
+    pol = roi_policy.init_policy(jax.random.PRNGKey(0))
+    base, _ = roi_policy.render_policy(pol, *_st(scene), bv, p, 48, 48,
+                                       12, 24)
+    # Offset pinned to -1: lam = clip(log2(dt_vox) - 1, 0, 1) ~ 0 at this
+    # dense-ish budget -> matches the no-LOD render.
+    pol_off = dict(pol, b2=pol["b2"].at[2].set(-30.0))
+    img0, _ = roi_policy.render_policy(pol_off, *_st(scene), bv, p, 48, 48,
+                                       12, 24, lod_vol=mip)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(base),
+                               atol=5e-3)
+    # Offset pinned to +1: every sample at the mip -> visibly different.
+    pol_on = dict(pol, b2=pol["b2"].at[2].set(30.0))
+    img1, _ = roi_policy.render_policy(pol_on, *_st(scene), bv, p, 48, 48,
+                                       12, 24, lod_vol=mip)
+    assert float(np.abs(np.asarray(img1) - np.asarray(base)).max()) > 1e-3
