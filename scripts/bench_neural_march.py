@@ -32,6 +32,9 @@ def main(argv=None):
     # positions carries ~256 distinct samples per axis, exactly what the
     # strided field evaluates).
     ap.add_argument("--pred-stride", type=int, default=4)
+    ap.add_argument("--pred-kstride", type=int, default=1,
+                    help="field plane stride (every K-th sweep plane, "
+                    "nearest-upsampled in-kernel)")
     ap.add_argument("--write-doc", action="store_true")
     args = ap.parse_args(argv)
 
@@ -98,7 +101,7 @@ def main(argv=None):
     r_baked = BratsRenderer(disp, segj, predj, width=S, height=S)
     r_neural = neural_march.NeuralBratsRenderer(
         disp, zsc, segj, model, params, width=S, height=S,
-        pred_stride=args.pred_stride)
+        pred_stride=args.pred_stride, pred_kstride=args.pred_kstride)
     fps_plain = orbit_fps(lambda b: r_plain.render(b, p))
     p_np = p._replace(show_pred=np.float32(1.0))
     fps_baked = orbit_fps(lambda b: r_baked.render(b, p_np))
