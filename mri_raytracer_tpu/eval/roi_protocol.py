@@ -226,6 +226,15 @@ def build_scenes(shape=(96, 96, 80), include_medical=True,
     return scenes
 
 
+def auto_probe_stride(width: int) -> int:
+    """Coarse-probe sharing stride scaled with RENDER resolution: the probe
+    field is smooth in image space, so the S x S block can grow with pixel
+    density — keeps the coarse-pass cost roughly resolution-independent.
+    Every consumer (eval, figures, videos) derives the stride from ITS OWN
+    resolution; a stride recorded at 1920px is wrong for a 256px render."""
+    return max(3, min(8, width // 240))
+
+
 def scene_tuple(scene) -> Tuple:
     return (scene.get("mixed_p", scene["mixed"]), scene["feat_rows"])
 
@@ -331,10 +340,21 @@ def _render_ref(scene, bv, p, width, height, ref_steps, block,
     import pathlib
 
     if ref_cache is not None:
-        key = np.asarray(bv, np.float32).tobytes()
         import hashlib
 
-        h = hashlib.sha1(key).hexdigest()[:12]
+        # Key on pose AND volume content + render params: scene NAMES
+        # repeat across suites with different content (showcase vs
+        # adversarial 'tumor-a' etc.), and a name-only key would silently
+        # serve one suite's references to the other.
+        if "_digest" not in scene:
+            scene["_digest"] = hashlib.sha1(
+                np.asarray(scene["mixed"]).tobytes()).digest()
+        key = hashlib.sha1(np.asarray(bv, np.float32).tobytes())
+        key.update(scene["_digest"])
+        key.update(np.asarray(p.ww).tobytes() + np.asarray(p.wl).tobytes()
+                   + np.asarray(p.gamma).tobytes()
+                   + np.asarray(p.intensity_alpha).tobytes())
+        h = key.hexdigest()[:16]
         f = pathlib.Path(ref_cache) / \
             f"ref_{tag}_{width}x{height}_n{ref_steps}_{h}.npy"
         if f.exists():
@@ -352,10 +372,12 @@ def _wmap_for(scene, bv, p, width, height):
     """ROI weight map at a pose, computed at 1/4 resolution and upsampled
     (the P/B projections are Gaussian-smooth; full-res projection would
     cost another B1-render per pose)."""
-    wq, hq = max(width // 4, 1), max(height // 4, 1)
+    wq, hq = max(-(-width // 4), 1), max(-(-height // 4), 1)
     P_img, B_img = roi_policy.project_roi_maps(scene["P"], scene["B"],
                                                jnp.asarray(bv), p, wq, hq)
     w = roi_policy.roi_weight_map(P_img, B_img)
+    # ceil-sized quarter grid => the repeat covers any (width, height),
+    # including non-multiples of 4.
     w = jnp.repeat(jnp.repeat(w, 4, axis=0), 4, axis=1)[:height, :width]
     return w
 
@@ -366,7 +388,7 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                  n_frames: int = 30, cfg=roi_policy.PolicyConfig(),
                  n_coarse: int = 32, probe_stride: int = 1,
                  block: Optional[int] = None, ref_cache=None,
-                 lod: bool = False) -> Dict:
+                 lod: bool = False, policy_lod=None) -> Dict:
     """Per-budget baseline-vs-policy measurements on one scene, at the
     showcase-plan reporting protocol (``docs/showcase-plan.md:41-46``):
     per-frame PSNR / ROI-weighted PSNR / SSIM vs the fine reference over
@@ -382,7 +404,9 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     at 1080p); ``ref_cache``: directory for disk-cached reference frames.
     ``lod``: also measure a 'policy_lod' series with the policy's optional
     LOD output enabled (Methodology:43; mip blend toward
-    ``scene['mixed_p1']``) — the with/without-LOD ablation.
+    ``scene['mixed_p1']``) — the with/without-LOD ablation. ``policy_lod``:
+    parameters for that series (the LOD-fine-tuned checkpoint); defaults
+    to ``policy``.
     """
     p = p or scene["params"]
     mixed = scene_tuple(scene)[0]
@@ -391,6 +415,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     lod_vol = scene.get("mixed_p1") if lod else None
     kinds = ("baseline", "policy") + (("policy_lod",) if lod_vol is not None
                                       else ())
+    pol_of = {"policy": policy,
+              "policy_lod": policy_lod if policy_lod is not None else policy}
 
     refs, wmaps = [], []
     for bv in views:
@@ -434,8 +460,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
             rows["baseline"]["steps"].append(float(steps))
             for kind in kinds[1:]:
                 pimg, stats = roi_policy.render_policy(
-                    policy, *st, bvj, p, width, height, n_coarse, n, cfg,
-                    probe_stride=probe_stride, block=block,
+                    pol_of[kind], *st, bvj, p, width, height, n_coarse, n,
+                    cfg, probe_stride=probe_stride, block=block,
                     lod_vol=lod_vol if kind == "policy_lod" else None)
                 q = _metrics_of(pimg, ref, wmap)
                 rows[kind]["psnr"].append(q[0])
@@ -450,9 +476,10 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                                                   height, n, block=block)[0])}
         for kind in kinds[1:]:
             lv = lod_vol if kind == "policy_lod" else None
+            pk = pol_of[kind]
             ms[kind] = timed_ms(
-                lambda lv=lv: roi_policy.render_policy(
-                    policy, *st, bv0, p, width, height, n_coarse, n, cfg,
+                lambda lv=lv, pk=pk: roi_policy.render_policy(
+                    pk, *st, bv0, p, width, height, n_coarse, n, cfg,
                     probe_stride=probe_stride, block=block, lod_vol=lv)[0])
         for kind in kinds:
             r = rows[kind]

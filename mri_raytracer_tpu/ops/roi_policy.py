@@ -96,7 +96,7 @@ def apply_policy(params, feats: jnp.ndarray, cfg: PolicyConfig,
                  dtype=jnp.bfloat16
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """feats (..., 8) -> (dt_scale in [scale_min, scale_max], skip in [0,1],
-    lod_offset in [-1, 1]).
+    lod_offset in (-4, 4)).
 
     ``lod_offset`` shifts the dt-matched mip level of the fine march
     (see ``render_policy(lod_vol=...)``); checkpoints saved with the older
@@ -112,7 +112,10 @@ def apply_policy(params, feats: jnp.ndarray, cfg: PolicyConfig,
     dt_scale = cfg.scale_min + (cfg.scale_max - cfg.scale_min) * s
     skip = jax.nn.sigmoid(out[..., 1])
     if params["W2"].shape[-1] >= 3:
-        lod_off = 2.0 * jax.nn.sigmoid(out[..., 2]) - 1.0
+        # (-4, 4): wide enough to fully DISABLE the blend at coarse budgets
+        # (lam = clip(log2(dt_vox) + off, 0, 1) needs off <= -log2(dt_vox),
+        # and dt_vox reaches ~8-16 voxels at the smallest budgets).
+        lod_off = 4.0 * jnp.tanh(out[..., 2])
     else:
         lod_off = jnp.zeros_like(skip)
     return dt_scale, skip, lod_off
@@ -478,13 +481,14 @@ def project_roi_maps(P, B, basis_vec, p, width: int, height: int,
 
 def policy_loss(policy, scene, basis_vec, ref_img, p, width, height,
                 n_coarse, n_fine, cfg: PolicyConfig, alpha: float = 0.0,
-                w_img: Optional[jnp.ndarray] = None, probe_stride: int = 1):
+                w_img: Optional[jnp.ndarray] = None, probe_stride: int = 1,
+                lod_vol=None):
     """J = ROI-weighted image MSE + alpha * expected-steps cost
     (Methodology:51). ``scene`` = (mixed, feat_rows)."""
     mixed, feat_rows = scene
     img, stats = render_policy(policy, mixed, feat_rows, basis_vec, p, width,
                                height, n_coarse, n_fine, cfg,
-                               probe_stride=probe_stride)
+                               probe_stride=probe_stride, lod_vol=lod_vol)
     err = jnp.square(img - ref_img).mean(-1)
     if w_img is not None:
         err = err * w_img / jnp.mean(w_img)
@@ -499,7 +503,8 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
                  val_views: Optional[list] = None,
                  val_refs: Optional[list] = None,
                  val_weights: Optional[list] = None,
-                 eval_every: int = 50, patience: int = 5):
+                 eval_every: int = 50, patience: int = 5,
+                 init=None, lod_vols: Optional[list] = None):
     # NOTE alpha (Methodology:51's sample-cost weight) defaults to 0: under
     # a FIXED fine budget the wall cost is constant and any visible alpha
     # drowns the image term (image MSE at useful quality is ~1e-5-1e-6);
@@ -523,10 +528,16 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
 
     Returns ``(policy, losses, selection)`` where ``selection`` records the
     selected step, the validation curve, and whether early stop fired.
+
+    ``init``: warm-start parameters (fine-tuning, e.g. training the LOD
+    head on top of a converged base policy). ``lod_vols``: per-task 2x mip
+    volumes (primary first, then extra_scenes order) — when given, training
+    renders with the LOD blend so the policy's third output receives
+    gradient (without it the LOD head is untrained and stays neutral).
     """
     import optax
 
-    policy = init_policy(key, cfg)
+    policy = init_policy(key, cfg) if init is None else init
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, max(steps // 10, 1),
                                                steps, lr * 0.05)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
@@ -534,20 +545,24 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
     opt_state = opt.init(policy)
 
     @jax.jit
-    def update(policy, opt_state, bv, ref, w, sc_mixed, sc_rows, sc_p):
+    def update(policy, opt_state, bv, ref, w, sc_mixed, sc_rows, sc_p,
+               lod_vol=None):
         loss, g = jax.value_and_grad(
             lambda pol: policy_loss(pol, (sc_mixed, sc_rows), bv, ref, sc_p,
                                     width, height, n_coarse, n_fine, cfg,
-                                    alpha, w, probe_stride)[0])(policy)
+                                    alpha, w, probe_stride,
+                                    lod_vol=lod_vol)[0])(policy)
         upd, opt_state = opt.update(g, opt_state, policy)
         policy = optax.apply_updates(policy, upd)
         return policy, opt_state, loss
 
+    val_lod = lod_vols[0] if lod_vols else None
+
     @jax.jit
-    def val_wpsnr_one(policy, bv, ref, w):
+    def val_wpsnr_one(policy, bv, ref, w, lod_vol=None):
         img, _ = render_policy(policy, scene[0], scene[1], bv, p, width,
                                height, n_coarse, n_fine, cfg,
-                               probe_stride=probe_stride)
+                               probe_stride=probe_stride, lod_vol=lod_vol)
         err = jnp.square(img - ref).mean(-1)
         if w is not None:
             err = err * w / jnp.maximum(jnp.mean(w), 1e-12)
@@ -556,12 +571,15 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
 
     def val_wpsnr(policy):
         ws = val_weights if val_weights is not None else [None] * len(val_views)
-        return float(np.mean([float(val_wpsnr_one(policy, v, r, w))
+        return float(np.mean([float(val_wpsnr_one(policy, v, r, w,
+                                                  lod_vol=val_lod))
                               for v, r, w in zip(val_views, val_refs, ws)]))
 
     tasks = [(scene, p, views, refs, weights)]
     if extra_scenes:
         tasks.extend(extra_scenes)
+    lvs = (list(lod_vols) + [None] * (len(tasks) - len(lod_vols))
+           if lod_vols else [None] * len(tasks))
     losses = []
     use_val = bool(val_views) and bool(val_refs)
     best_pol, best_q, best_step = policy, -np.inf, 0
@@ -572,7 +590,8 @@ def train_policy(key, scene, views, refs, p, width, height, cfg=PolicyConfig(),
         i = (s // len(tasks)) % len(vs)
         w = ws[i] if ws is not None else None
         policy, opt_state, loss = update(policy, opt_state, vs[i], rs[i], w,
-                                         sc[0], sc[1], sp)
+                                         sc[0], sc[1], sp,
+                                         lod_vol=lvs[s % len(tasks)])
         losses.append(float(loss))
         steps_run = s + 1
         if use_val and steps_run % eval_every == 0:

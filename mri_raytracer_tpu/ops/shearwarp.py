@@ -314,11 +314,6 @@ def entry_ratio_map(geom: SweepGeom, near, dt_plane) -> jnp.ndarray:
                      t_start / jnp.maximum(dt_plane, _EPS))
 
 
-def entry_dt_scale(g: jnp.ndarray) -> jnp.ndarray:
-    """1 + (q - r) on the first crossing past the march start, 1 elsewhere."""
-    return 1.0 + jnp.clip(g, 0.0, 1.0) * (g < 1.0).astype(jnp.float32)
-
-
 def entry_active(g: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Pre-entry gate: planes before the march start (g < 0) never
     composite. The sentinel r >= 1e37 (t_entry disabled) passes everything.

@@ -61,7 +61,9 @@ def roi_orbit_gifs(docs, res, n_frames, fps):
     pol = roi_policy.load_policy(docs / "roi_policy.npz")
     meta = json.loads((docs / "roi_policy_meta.json").read_text())
     n_coarse = int(meta.get("n_coarse", 48))
-    stride = int(meta.get("probe_stride", 3))
+    # Probe stride scales with the RENDER resolution — the meta value was
+    # recorded at the protocol's 1920px and is wrong for GIF-sized frames.
+    stride = roi_protocol.auto_probe_stride(res)
     verdicts = {v["scene"]: v for v in results.get("verdicts", [])}
     shape = (96, 96, 80)
     for sc in roi_protocol.build_scenes(shape):

@@ -146,7 +146,9 @@ def main(argv=None):
         meta_path = docs / "roi_policy_meta.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         n_coarse = int(meta.get("n_coarse", 40))
-        probe_stride = int(meta.get("probe_stride", 4))
+        # Probe stride follows the FIGURE resolution (the meta value was
+        # recorded at the protocol's 1920px).
+        probe_stride = roi_protocol.auto_probe_stride(args.width)
         for sc in roi_protocol.build_scenes(shape):
             name = sc["name"]
             if name not in verdicts:

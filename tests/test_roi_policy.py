@@ -50,7 +50,7 @@ def test_policy_output_ranges():
     assert float(scale.min()) >= CFG.scale_min - 1e-3
     assert float(scale.max()) <= CFG.scale_max + 1e-3
     assert float(skip.min()) >= 0.0 and float(skip.max()) <= 1.0
-    assert float(jnp.abs(lod).max()) <= 1.0
+    assert float(jnp.abs(lod).max()) <= 4.0
     # A legacy 2-output head loads and reports a neutral LOD offset.
     pol2 = dict(pol, W2=pol["W2"][:, :2], b2=pol["b2"][:2])
     _, _, lod2 = roi_policy.apply_policy(pol2, feats, CFG)
