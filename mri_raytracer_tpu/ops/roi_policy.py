@@ -376,10 +376,14 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
 
         def _lam(dt_f):
             # Textbook mip level = log2(sample footprint in voxels): level
-            # 1 (the 2x mip) matches 2-voxel spacing, so lam hits 1.0 at
-            # dt = 2 voxels and 0 at <= 1 voxel (plus the learned offset).
-            return jnp.clip(jnp.log2(jnp.maximum(dt_f / vox_m, 1e-6))
-                            + lod_ray[..., None], 0.0, 1.0)
+            # 1 (the 2x mip) matches 2-voxel spacing. Smooth saturation
+            # (sigmoid around the 0..1 ramp) instead of a hard clip: a
+            # clipped lam has ZERO gradient to the policy's offset exactly
+            # where training starts (coarse budgets put log2(dt_vox) > 1,
+            # pinning lam at 1), so the LOD head could never learn.
+            x = jnp.log2(jnp.maximum(dt_f / vox_m, 1e-6)) \
+                + lod_ray[..., None]
+            return jax.nn.sigmoid(4.0 * (x - 0.5))
     else:
         _lam = None
 

@@ -165,10 +165,13 @@ def main(argv=None):
     # log2(dt) heuristic, not a learned output), then sweep the primary
     # scene at the operating budgets with vs without the blend.
     lod_line = None
+    # lr: Adam's step magnitude ~= lr, and the LOD logit must travel O(1)
+    # from neutral within a few hundred steps (3e-4 moves it ~0.03 — the
+    # head would stay effectively frozen).
     pol_lod, lod_losses, _ = roi_policy.train_policy(
         jax.random.PRNGKey(1), tr_sc, views, refs, p, R, R,
-        steps=max(100, args.train_steps // 4), n_coarse=args.n_coarse,
-        n_fine=budgets[len(budgets) // 2], weights=weights,
+        steps=max(200, args.train_steps // 4), n_coarse=args.n_coarse,
+        n_fine=budgets[len(budgets) // 2], weights=weights, lr=5e-3,
         probe_stride=train_stride, extra_scenes=tasks[1:], init=pol,
         lod_vols=[sc.get("mixed_p1") for sc in scenes[:4]])
     print(f"[roi] LOD fine-tune: loss {lod_losses[0]:.2e} -> "
