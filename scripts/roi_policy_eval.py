@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sitecustomize forces the "
                     "TPU platform, so an env var alone is not enough)")
+    ap.add_argument("--policy-in", default=None,
+                    help="skip training: load this policy npz (+ its _lod "
+                    "sibling if present) — resume support for flaky "
+                    "device links")
     args = ap.parse_args(argv)
 
     import jax
@@ -96,24 +100,42 @@ def main(argv=None):
     tasks = [scene_task(sc) for sc in scenes[:4]]
     (tr_sc, p, views, refs, weights) = tasks[0]
     _, _, val_views, val_refs, val_weights = scene_task(scenes[0], held=True)
-    pol, losses, sel = roi_policy.train_policy(
-        jax.random.PRNGKey(0), tr_sc, views, refs, p,
-        R, R, steps=args.train_steps, n_coarse=args.n_coarse,
-        n_fine=budgets[len(budgets) // 2], weights=weights,
-        probe_stride=train_stride, extra_scenes=tasks[1:],
-        val_views=val_views, val_refs=val_refs, val_weights=val_weights)
-    print(f"[roi] policy trained: loss {losses[0]:.2e} -> {losses[-1]:.2e}; "
-          f"selected step {sel['selected_step']}/{sel['steps_run']} "
-          f"(val wPSNR {sel['best_val_wpsnr']:.2f} dB, "
-          f"early_stopped={sel['early_stopped']})")
     out_dir = _pl.Path(args.out or
                        _pl.Path(__file__).resolve().parents[1] / "docs")
     out_dir.mkdir(parents=True, exist_ok=True)
-    roi_policy.save_policy(out_dir / "roi_policy.npz", pol,
-                           meta={"train_steps": args.train_steps,
-                                 "n_coarse": args.n_coarse,
-                                 "probe_stride": stride,
-                                 "selection": sel})
+    pol_lod_in = None
+    if args.policy_in:
+        pol = roi_policy.load_policy(args.policy_in)
+        meta_f = _pl.Path(args.policy_in).with_name(
+            _pl.Path(args.policy_in).stem + "_meta.json")
+        sel = (json.loads(meta_f.read_text()).get("selection", {})
+               if meta_f.exists() else {})
+        sel.setdefault("selected_step", -1)
+        sel.setdefault("steps_run", -1)
+        losses = [float("nan"), float("nan")]
+        lod_f = _pl.Path(args.policy_in).with_name(
+            _pl.Path(args.policy_in).stem + "_lod.npz")
+        if lod_f.exists():
+            pol_lod_in = roi_policy.load_policy(lod_f)
+        print(f"[roi] loaded policy from {args.policy_in} "
+              f"(lod checkpoint: {pol_lod_in is not None})")
+    else:
+        pol, losses, sel = roi_policy.train_policy(
+            jax.random.PRNGKey(0), tr_sc, views, refs, p,
+            R, R, steps=args.train_steps, n_coarse=args.n_coarse,
+            n_fine=budgets[len(budgets) // 2], weights=weights,
+            probe_stride=train_stride, extra_scenes=tasks[1:],
+            val_views=val_views, val_refs=val_refs, val_weights=val_weights)
+        print(f"[roi] policy trained: loss {losses[0]:.2e} -> "
+              f"{losses[-1]:.2e}; "
+              f"selected step {sel['selected_step']}/{sel['steps_run']} "
+              f"(val wPSNR {sel['best_val_wpsnr']:.2f} dB, "
+              f"early_stopped={sel['early_stopped']})")
+        roi_policy.save_policy(out_dir / "roi_policy.npz", pol,
+                               meta={"train_steps": args.train_steps,
+                                     "n_coarse": args.n_coarse,
+                                     "probe_stride": stride,
+                                     "selection": sel})
 
     # ---- protocol sweep: every scene over the >=30-pose orbit at full
     # resolution; the first four scenes vote on the bar. Held-out check:
@@ -165,20 +187,23 @@ def main(argv=None):
     # log2(dt) heuristic, not a learned output), then sweep the primary
     # scene at the operating budgets with vs without the blend.
     lod_line = None
-    # lr: Adam's step magnitude ~= lr, and the LOD logit must travel O(1)
-    # from neutral within a few hundred steps (3e-4 moves it ~0.03 — the
-    # head would stay effectively frozen).
-    pol_lod, lod_losses, _ = roi_policy.train_policy(
-        jax.random.PRNGKey(1), tr_sc, views, refs, p, R, R,
-        steps=max(200, args.train_steps // 4), n_coarse=args.n_coarse,
-        n_fine=budgets[len(budgets) // 2], weights=weights, lr=5e-3,
-        probe_stride=train_stride, extra_scenes=tasks[1:], init=pol,
-        lod_vols=[sc.get("mixed_p1") for sc in scenes[:4]])
-    print(f"[roi] LOD fine-tune: loss {lod_losses[0]:.2e} -> "
-          f"{lod_losses[-1]:.2e}")
-    roi_policy.save_policy(out_dir / "roi_policy_lod.npz", pol_lod,
-                           meta={"finetuned_from": "roi_policy.npz",
-                                 "lod": True})
+    if pol_lod_in is not None:
+        pol_lod = pol_lod_in
+    else:
+        # lr: Adam's step magnitude ~= lr, and the LOD logit must travel
+        # O(1) from neutral within a few hundred steps (3e-4 moves it
+        # ~0.03 — the head would stay effectively frozen).
+        pol_lod, lod_losses, _ = roi_policy.train_policy(
+            jax.random.PRNGKey(1), tr_sc, views, refs, p, R, R,
+            steps=max(200, args.train_steps // 4), n_coarse=args.n_coarse,
+            n_fine=budgets[len(budgets) // 2], weights=weights, lr=5e-3,
+            probe_stride=train_stride, extra_scenes=tasks[1:], init=pol,
+            lod_vols=[sc.get("mixed_p1") for sc in scenes[:4]])
+        print(f"[roi] LOD fine-tune: loss {lod_losses[0]:.2e} -> "
+              f"{lod_losses[-1]:.2e}")
+        roi_policy.save_policy(out_dir / "roi_policy_lod.npz", pol_lod,
+                               meta={"finetuned_from": "roi_policy.npz",
+                                     "lod": True})
     v0 = verdicts[0]
     ab_budgets = sorted({v0["tuned_n"]} |
                         ({v0["policy_n"]} if v0.get("policy_n") else set()))
