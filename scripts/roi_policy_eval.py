@@ -179,6 +179,16 @@ def main(argv=None):
             probe_stride=stride, block=args.block,
             ref_cache=args.ref_cache)
         results["scenes"][sc["name"] + "-heldout"] = sweep_h
+        # Held-out view quality target (showcase-plan:49: <= 0.7 dB extra
+        # loss): policy wPSNR delta standard-orbit -> held-out-orbit at the
+        # policy operating point.
+        if v.get("policy_n") is not None:
+            q_std = next(q for q in sweep["policy"] if q["n"] == v["policy_n"])
+            q_ho = next(q for q in sweep_h["policy"]
+                        if q["n"] == v["policy_n"])
+            v["heldout_extra_loss_db"] = round(q_std["wpsnr"]
+                                               - q_ho["wpsnr"], 3)
+            v["heldout_ok"] = v["heldout_extra_loss_db"] <= 0.7
 
     # ---- LOD ablation (Methodology:43 optional output): fine-tune the LOD
     # head on top of the selected checkpoint (training renders with the mip
@@ -256,23 +266,28 @@ def main(argv=None):
              f"volumes; every orbit pose is disjoint from the training "
              f"views (held-out orbit + unseen-subject checks below).", "",
              "| scene | B1 (n, ms) | policy (n, ms) | speedup | pass | "
-             "policy wPSNR [CI] | policy SSIM [CI] | equal-budget gain |",
-             "|---|---|---|---|---|---|---|---|"]
+             "policy wPSNR [CI] | policy SSIM [CI] | equal-budget gain | "
+             "held-out extra loss (<=0.7 dB) |",
+             "|---|---|---|---|---|---|---|---|---|"]
     for v in verdicts:
         name = v["scene"] + ("" if v["counts_toward_bar"]
                              else " (unseen-subject check)")
         gain = f"{v.get('equal_budget_gain_db', 0.0):+.1f} dB"
         if v.get("policy_n") is None:
             lines.append(f"| {name} | n={v['tuned_n']} | no point met the "
-                         f"bar | - | NO | - | - | {gain} |")
+                         f"bar | - | NO | - | - | {gain} | - |")
             continue
         sweep = results["scenes"][v["scene"]]
         prec = next(q for q in sweep["policy"] if q["n"] == v["policy_n"])
+        ho = v.get("heldout_extra_loss_db")
+        ho_s = (f"{ho:+.2f} dB {'OK' if v.get('heldout_ok') else 'FAIL'}"
+                if ho is not None else "-")
         lines.append(
             f"| {name} | n={v['tuned_n']}, {v['tuned_ms']:.0f} ms | "
             f"n={v['policy_n']}, {v['policy_ms']:.0f} ms | "
             f"{v['speedup']:.2f}x | {'YES' if v['success'] else 'no'} | "
-            f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} |")
+            f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} | "
+            f"{ho_s} |")
     lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
               f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar "
               f"at protocol resolution and frame counts)."]
