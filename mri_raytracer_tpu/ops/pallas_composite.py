@@ -48,7 +48,7 @@ from mri_raytracer_tpu.render.params import BratsRenderParams
 def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                  tile_j: int, has_seg: bool, has_pred: bool, use_gamma: bool,
                  use_clip: bool, field_stride: int = 0,
-                 field_kstride: int = 1):
+                 field_kstride: int = 1, field_width: int = 0):
     # field_stride > 0: the pred stream is a PREDICTION FIELD — per-plane
     # labels at stride-S intermediate positions, (n_fplanes, Op, Op) with
     # Op = out_res // S (neural march mode 2) — upsampled here by TWO
@@ -61,6 +61,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
     # K x cut of the predict_field pass).
     Op = out_res // field_stride if field_stride else 0
     tjp = tile_j // field_stride if field_stride else 0
+    # Mosaic requires HBM lane-dim slices 128-aligned; when Op is not a
+    # 128-multiple (e.g. out_res=896, stride=4 -> Op=224) the field arrives
+    # zero-padded to field_width >= tjp and streams at the padded width
+    # (tile_j == out_res, so the slice always starts at column 0). Padded
+    # rows of the column one-hot are never selected (qfc < Op).
+    fw = field_width or tjp
     def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
                vmag_ref, dt_ref, r_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
@@ -97,7 +103,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                 .astype(jnp.float32)
             wan_f = (qf == iota_f).astype(jnp.float32)  # (tile_i, Op)
             # Column-upsample one-hot: output column j reads field col j//S.
-            iota_fc = jax.lax.broadcasted_iota(jnp.int32, (tjp, tile_j), 0) \
+            iota_fc = jax.lax.broadcasted_iota(jnp.int32, (fw, tile_j), 0) \
                 .astype(jnp.float32)
             qfc = jnp.floor((tj * tile_j + iota_j) / float(field_stride)) \
                 - tj * tjp
@@ -130,9 +136,11 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                 (t1nb_hbm, bufn_ref, semn_ref),
                 (t1pb_hbm, bufp_ref, semp_ref)][stream]
             if stream == 2 and field_stride:
-                # Field stream: stride-S width, every K-th sweep plane.
+                # Field stream: stride-S (padded) width, every K-th sweep
+                # plane. tile_j == out_res => tj == 0, so the padded-width
+                # slice is always the full row.
                 return pltpu.make_async_copy(
-                    src.at[m // field_kstride, :, pl.ds(tj * tjp, tjp)],
+                    src.at[m // field_kstride, :, pl.ds(tj * tjp, fw)],
                     dst.at[slot], sem.at[slot])
             return pltpu.make_async_copy(
                 src.at[m, :, pl.ds(tj * tile_j, tile_j)],
@@ -312,9 +320,16 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         assert w_pred == out_res // field_stride, (pred_field.shape,
                                                    out_res, field_stride)
         assert pred_field.shape[0] == -(-n_planes // field_kstride)
+        # Mosaic HBM slices must be 128-aligned on the lane dim: pad the
+        # field width up (e.g. Op=224 -> 256) and stream the padded width.
+        fw_pad = -(-w_pred // 128) * 128
+        if fw_pad != w_pred:
+            pred_field = jnp.pad(
+                pred_field, ((0, 0), (0, 0), (0, fw_pad - w_pred)))
     else:
         na_pred = Na
         w_pred = out_res
+        fw_pad = out_res
     # Tiling: the per-plane a-weight build — the kernel's dominant VPU cost
     # after the per-pixel transfer math — is (tile_i, Na) PER PROGRAM, i.e.
     # n_tj * out_res * Na per plane in total. So tile_j spans the FULL row
@@ -323,7 +338,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # The price is re-reading the t1b slabs once per i-tile (~0.1 ms/100 MB
     # of HBM at 1024^2, cheap next to the VPU work saved).
     tile_j = out_res
-    stream_bytes = 2 * (2 * Na * tile_j + na_pred * w_pred) * 2  # bf16 x2buf
+    stream_bytes = 2 * (2 * Na * tile_j + na_pred * fw_pad) * 2  # bf16 x2buf
     # Per-program VMEM: 6 f32 accumulators (C gray, 3x label, T, started) +
     # the pipeline's double-buffered blocks (vmag, dt, r in; the (4, ti, tj)
     # out) — 6 + 2*(3 + 4) = 20 f32 planes of (tile_i, tile_j) — plus the
@@ -408,7 +423,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1b double buffer
             pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1nb double buffer
             pltpu.VMEM((2, na_pred,
-                        tile_j // field_stride if pred_field is not None
+                        fw_pad if pred_field is not None
                         else tile_j), jnp.bfloat16),  # t1pb/field buffer
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # C gray
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L r
@@ -426,7 +441,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         _make_kernel(n_planes, Na, out_res, tile_i, tile_j, has_seg, has_pred,
                      use_gamma, use_clip,
                      field_stride if pred_field is not None else 0,
-                     field_kstride),
+                     field_kstride,
+                     fw_pad if pred_field is not None else 0),
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
