@@ -67,7 +67,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
     # (tile_j == out_res, so the slice always starts at column 0). Padded
     # rows of the column one-hot are never selected (qfc < Op).
     fw = field_width or tjp
-    def kernel(pp_ref, sc_ref, lut_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
+    def kernel(pp_ref, sc_ref, lut_ref, rtm_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
                vmag_ref, dt_ref, r_ref, out_ref,
                buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
                t_ref, started_ref, alive_ref, sem_ref, semn_ref, semp_ref):
@@ -189,9 +189,15 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
             plane_ok = a_ok & b_ok & (own > 0.0)
             if not use_clip:
                 plane_ok = plane_ok & (lam >= 0.0)
+            # Entry fast path: once the plane sits > 2 dt beyond every
+            # finite entry in this tile (q_m > max r + 2), the pre-entry
+            # gate is all-ones and the first-segment correction is exactly
+            # the identity (g >= 2 for finite r; clip(g,0,2)*(g<2) == 0 for
+            # the 3e38 sentinel) — so the ~17 extra VPU ops/plane the
+            # correction costs are paid only on the few entry planes.
+            fast = q_m > rtm_ref[ti, tj] + 2.0
 
-            @pl.when(plane_ok & (alive_ref[0] > 0))
-            def compute():
+            def compute(fast_path):
                 # a-axis hat weights + inside mask. Position math on (O, 1);
                 # only the weight compare is full (O, Na).
                 pos_a = off_a + iota_col * sc_a  # (O, 1)
@@ -208,24 +214,35 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                             preferred_element_type=jnp.float32)  # (O, tile_j)
 
                 T = t_ref[:]
-                # Pre-entry gate + first-segment correction (the per-ray
-                # 'started' form of shearwarp.entry_correction: the FIRST
-                # active plane extends its dt by g = q - r, keeping the
-                # march length continuous in r under fp noise).
-                g = q_m - r_ref[:]
-                pre_ok = ((g >= -1e-3) | (r_ref[:] >= 1e37)) \
-                    .astype(jnp.float32)
-                act = mask_a * mask_b * own * pre_ok \
-                    * (T > 0.01).astype(jnp.float32)
+                if fast_path:
+                    act = mask_a * mask_b * own \
+                        * (T > 0.01).astype(jnp.float32)
+                else:
+                    # Pre-entry gate + first-segment correction (the per-ray
+                    # 'started' form of shearwarp.entry_correction: the FIRST
+                    # active plane extends its dt by g = q - r, keeping the
+                    # march length continuous in r under fp noise).
+                    g = q_m - r_ref[:]
+                    pre_ok = ((g >= -1e-3) | (r_ref[:] >= 1e37)) \
+                        .astype(jnp.float32)
+                    act = mask_a * mask_b * own * pre_ok \
+                        * (T > 0.01).astype(jnp.float32)
                 if use_clip:
                     t_k = lam * vmag_ref[:]
                     act = act * ((t_k >= near)
                                  & (t_k <= far)).astype(jnp.float32)
 
-                first = act * (1.0 - started_ref[:])
-                dt_e = dt * (1.0 + jnp.clip(g, 0.0, 2.0)
-                             * (g < 2.0).astype(jnp.float32) * first)
-                started_ref[:] = jnp.maximum(started_ref[:], act)
+                if fast_path:
+                    dt_e = dt
+                    # Keep 'started' current even on fast planes: a slow
+                    # plane can only follow if q_m were non-monotonic, but
+                    # one max costs nothing next to the ops saved.
+                    started_ref[:] = jnp.maximum(started_ref[:], act)
+                else:
+                    first = act * (1.0 - started_ref[:])
+                    dt_e = dt * (1.0 + jnp.clip(g, 0.0, 2.0)
+                                 * (g < 2.0).astype(jnp.float32) * first)
+                    started_ref[:] = jnp.maximum(started_ref[:], act)
                 val = jnp.clip((v - lo) * inv_ww, 0.0, 1.0)
                 if use_gamma:
                     val = jnp.power(val, gamma)
@@ -270,6 +287,16 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                                 wcol=wbn_f if field_stride else None)
                 t_ref[:] = T
                 alive_ref[0] = (jnp.max(T) > 0.01).astype(jnp.int32)
+
+            run = plane_ok & (alive_ref[0] > 0)
+
+            @pl.when(run & fast)
+            def _():
+                compute(True)
+
+            @pl.when(run & jnp.logical_not(fast))
+            def _():
+                compute(False)
             return 0
 
         jax.lax.fori_loop(0, n_planes, body, 0)
@@ -406,8 +433,12 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 
     n_ti = out_res // tile_i
     n_tj = out_res // tile_j
+    # Per-tile max FINITE entry ratio: planes with q_m > rmax + 2 take the
+    # kernel's entry fast path (correction provably identity there).
+    r_fin = jnp.where(r_map < 1e37, r_map, -3e38)
+    rtm = jnp.max(r_fin.reshape(n_ti, tile_i, n_tj, tile_j), axis=(1, 3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # pp, scalars, lut
+        num_scalar_prefetch=4,  # pp, scalars, lut, rtm
         grid=(n_ti, n_tj),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # t1b
@@ -446,7 +477,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pp, scalars, p.lut.astype(jnp.float32), t1b, t1nb, t1pb,
+    )(pp, scalars, p.lut.astype(jnp.float32), rtm, t1b, t1nb, t1pb,
       geom.vmag, geom.dt_map, r_map)
     C = jnp.moveaxis(out[:3], 0, -1)
     T = out[3]

@@ -30,9 +30,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--vol", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (TPU may be busy)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -77,15 +82,19 @@ def main():
         print(f"[diag] {name}: oracle done ({time.time() - t0:.0f}s)",
               file=sys.stderr, flush=True)
 
+        on_tpu = jax.default_backend() == "tpu"
         rows = [
             # exact bench path: BratsRenderer with content crop + slab
             ("renderer", None, oracle),
-            ("pallas", dict(seg=seg, pp=p, composite="pallas"), oracle),
+            # pallas rows only on TPU (CPU raises without interpret mode)
+            *([("pallas", dict(seg=seg, pp=p, composite="pallas"), oracle)]
+              if on_tpu else []),
             ("scan", dict(seg=seg, pp=p, composite="scan"), oracle),
             ("scan-ss2", dict(seg=seg, pp=p, composite="scan",
                               supersample=2), oracle),
-            ("pallas-intensity", dict(seg=None, pp=p_noseg,
-                                      composite="pallas"), oracle_i),
+            *([("pallas-intensity", dict(seg=None, pp=p_noseg,
+                                         composite="pallas"), oracle_i)]
+              if on_tpu else []),
             ("scan-intensity", dict(seg=None, pp=p_noseg,
                                     composite="scan"), oracle_i),
             ("scan-ss2-intensity", dict(seg=None, pp=p_noseg,
