@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--vol", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (TPU may be busy)")
+    ap.add_argument("--dump", default=None,
+                    help="directory to dump each row's image + the oracle "
+                    "as .npy (cross-backend oracle comparison)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +84,11 @@ def main():
             mods, None, None, b, p_o_noseg, SIZE, SIZE, max_steps=640))
         print(f"[diag] {name}: oracle done ({time.time() - t0:.0f}s)",
               file=sys.stderr, flush=True)
+        if args.dump:
+            dd = _pl.Path(args.dump)
+            dd.mkdir(parents=True, exist_ok=True)
+            np.save(dd / f"{name}_oracle.npy", oracle)
+            np.save(dd / f"{name}_oracle_i.npy", oracle_i)
 
         on_tpu = jax.default_backend() == "tpu"
         rows = [
@@ -115,6 +123,8 @@ def main():
                     supersample=kw.get("supersample", 1)))
             print(f"[diag] {name:9s} {label:20s} PSNR {psnr(img, ref):6.2f} "
                   f"dB  ({time.time() - t0:.0f}s)", flush=True)
+            if args.dump:
+                np.save(_pl.Path(args.dump) / f"{name}_{label}.npy", img)
 
 
 if __name__ == "__main__":
