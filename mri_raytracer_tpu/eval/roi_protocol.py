@@ -493,6 +493,103 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     return out
 
 
+def anchor_sweep(sweep: Dict, speedup_target: float = 1.8,
+                 max_loss_db: float = 0.5) -> List[Dict]:
+    """Success verdict at EVERY candidate anchor budget (the showcase plan
+    calls B1 the *tuned* baseline — reporting the whole anchor sweep shows
+    the 1.8x claim is not an artifact of one anchor choice). Computed from
+    the already-measured sweep; no extra renders."""
+    return [{"anchor_n": b["n"],
+             **{k: v for k, v in evaluate_success(
+                 sweep, speedup_target, max_loss_db,
+                 tuned_budget=b["n"]).items()
+                if k in ("success", "speedup", "policy_n", "bar_db")}}
+            for b in sweep["baseline"]]
+
+
+def write_report(results: Dict, md_path, suite: str = "showcase",
+                 lod_line: Optional[str] = None) -> None:
+    """Render ``results`` (the protocol JSON structure produced by
+    ``scripts/roi_policy_eval.py``) as the ROI_RESULTS markdown: the
+    per-scene verdict table with CIs, the anchor sweep (speedup at every
+    candidate B1 budget), and the overall bar verdict."""
+    import pathlib
+
+    sel = results.get("selection", {})
+    w, h = results.get("resolution", ["?", "?"])
+    verdicts = results["verdicts"]
+    n_ok = results["success_bar"]["scenes_passing"]
+
+    def ci(rec, m):
+        lo, hi = rec[m + "_ci"]
+        return f"{rec[m]:.2f} [{lo:.2f}, {hi:.2f}]"
+
+    title = ("ROI policy renderer — protocol results" if suite == "showcase"
+             else "ROI policy renderer — ADVERSARIAL suite (out-of-protocol "
+                  "stress scenes)")
+    any_sweep = next(iter(results["scenes"].values()))
+    lines = [f"# {title}", "",
+             f"**{w}x{h}** (showcase-plan:41), reference = fixed-step "
+             f"n={any_sweep.get('ref_steps', '?')}; quality = median "
+             f"[bootstrap 95% CI] over a "
+             f"{any_sweep.get('quality_frames', '?')}-pose camera orbit; "
+             f"ms/frame = median [95% CI] over "
+             f"{any_sweep.get('timing_frames', '?')} frames. Policy "
+             f"checkpoint: validation-selected step "
+             f"{sel.get('selected_step')}/{sel.get('steps_run')} "
+             f"(early stop per Methodology:53). Scenes are policy TRAINING "
+             f"volumes; every orbit pose is disjoint from the training "
+             f"views (held-out orbit + unseen-subject checks below).", "",
+             "| scene | B1 (n, ms) | policy (n, ms) | speedup | pass | "
+             "policy wPSNR [CI] | policy SSIM [CI] | equal-budget gain | "
+             "held-out extra loss (<=0.7 dB) |",
+             "|---|---|---|---|---|---|---|---|---|"]
+    for v in verdicts:
+        name = v["scene"] + ("" if v["counts_toward_bar"]
+                             else " (unseen-subject check)")
+        gain = f"{v.get('equal_budget_gain_db', 0.0):+.1f} dB"
+        if v.get("policy_n") is None:
+            lines.append(f"| {name} | n={v['tuned_n']} | no point met the "
+                         f"bar | - | NO | - | - | {gain} | - |")
+            continue
+        sweep = results["scenes"][v["scene"]]
+        prec = next(q for q in sweep["policy"] if q["n"] == v["policy_n"])
+        ho = v.get("heldout_extra_loss_db")
+        ho_s = (f"{ho:+.2f} dB {'OK' if v.get('heldout_ok') else 'FAIL'}"
+                if ho is not None else "-")
+        lines.append(
+            f"| {name} | n={v['tuned_n']}, {v['tuned_ms']:.0f} ms | "
+            f"n={v['policy_n']}, {v['policy_ms']:.0f} ms | "
+            f"{v['speedup']:.2f}x | {'YES' if v['success'] else 'no'} | "
+            f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} | "
+            f"{ho_s} |")
+    lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
+              f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar "
+              f"at protocol resolution and frame counts)."]
+    # Anchor sweep: the bar verdict is robust to the B1 anchor choice (the
+    # plan says B1 is the *tuned* baseline; showing every anchor removes
+    # the one-anchor-cherry-pick challenge).
+    lines += ["", "## Anchor sweep (speedup at every candidate B1 budget)",
+              "", "| scene | " + " | ".join(
+                  f"B1 n={b}" for b in any_sweep["budgets"]) + " |",
+              "|---|" + "---|" * len(any_sweep["budgets"])]
+    for v in verdicts:
+        sweep = results["scenes"][v["scene"]]
+        cells = []
+        for a in anchor_sweep(sweep):
+            cells.append(f"{a['speedup']:.2f}x"
+                         + ("*" if a["success"] else ""))
+        lines.append(f"| {v['scene']} | " + " | ".join(cells) + " |")
+    lines += ["", "`*` = meets the 1.8x bar at that anchor."]
+    if lod_line:
+        lines += ["", lod_line]
+    suffix = "" if suite == "showcase" else "_hard"
+    lines += ["", "Full per-budget Pareto data (PSNR/wPSNR/SSIM/ms, each "
+              f"with CIs) per scene and per held-out orbit: "
+              f"`roi_results{suffix}.json`."]
+    pathlib.Path(md_path).write_text("\n".join(lines) + "\n")
+
+
 def evaluate_success(sweep: Dict, speedup_target: float = 1.8,
                      max_loss_db: float = 0.5,
                      tuned_budget: int = 64) -> Dict:

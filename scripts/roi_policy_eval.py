@@ -246,58 +246,9 @@ def main(argv=None):
     (out_dir / f"roi_results{suffix}.json").write_text(
         json.dumps(results, indent=1))
 
-    def ci(rec, m):
-        lo, hi = rec[m + "_ci"]
-        return f"{rec[m]:.2f} [{lo:.2f}, {hi:.2f}]"
-
-    title = ("ROI policy renderer — protocol results"
-             if not suffix else
-             "ROI policy renderer — ADVERSARIAL suite (out-of-protocol "
-             "stress scenes)")
-    lines = [f"# {title}", "",
-             f"Backend: {jax.default_backend()}; **{args.width}x"
-             f"{args.height}** (showcase-plan:41), reference = fixed-step "
-             f"n={args.ref_steps}; quality = median [bootstrap 95% CI] "
-             f"over a {args.quality_frames}-pose camera orbit; ms/frame = "
-             f"median [95% CI] over {args.timing_frames} frames. Policy "
-             f"checkpoint: validation-selected step "
-             f"{sel['selected_step']}/{sel['steps_run']} "
-             f"(early stop per Methodology:53). Scenes are policy TRAINING "
-             f"volumes; every orbit pose is disjoint from the training "
-             f"views (held-out orbit + unseen-subject checks below).", "",
-             "| scene | B1 (n, ms) | policy (n, ms) | speedup | pass | "
-             "policy wPSNR [CI] | policy SSIM [CI] | equal-budget gain | "
-             "held-out extra loss (<=0.7 dB) |",
-             "|---|---|---|---|---|---|---|---|---|"]
-    for v in verdicts:
-        name = v["scene"] + ("" if v["counts_toward_bar"]
-                             else " (unseen-subject check)")
-        gain = f"{v.get('equal_budget_gain_db', 0.0):+.1f} dB"
-        if v.get("policy_n") is None:
-            lines.append(f"| {name} | n={v['tuned_n']} | no point met the "
-                         f"bar | - | NO | - | - | {gain} | - |")
-            continue
-        sweep = results["scenes"][v["scene"]]
-        prec = next(q for q in sweep["policy"] if q["n"] == v["policy_n"])
-        ho = v.get("heldout_extra_loss_db")
-        ho_s = (f"{ho:+.2f} dB {'OK' if v.get('heldout_ok') else 'FAIL'}"
-                if ho is not None else "-")
-        lines.append(
-            f"| {name} | n={v['tuned_n']}, {v['tuned_ms']:.0f} ms | "
-            f"n={v['policy_n']}, {v['policy_ms']:.0f} ms | "
-            f"{v['speedup']:.2f}x | {'YES' if v['success'] else 'no'} | "
-            f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} | "
-            f"{ho_s} |")
-    lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
-              f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar "
-              f"at protocol resolution and frame counts)."]
-    if lod_line:
-        lines += ["", lod_line]
-    lines += ["", "Full per-budget Pareto data (PSNR/wPSNR/SSIM/ms, each "
-              f"with CIs) per scene and per held-out orbit: "
-              f"`roi_results{suffix}.json`."]
     md = out_dir / ("ROI_RESULTS_hard.md" if suffix else "ROI_RESULTS.md")
-    md.write_text("\n".join(lines) + "\n")
+    roi_protocol.write_report(results, md, suite=args.suite,
+                              lod_line=lod_line)
     print(f"[roi] wrote {md}")
     return 0
 
