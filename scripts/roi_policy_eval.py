@@ -147,6 +147,14 @@ def main(argv=None):
                "resolution": [args.width, args.height],
                "scenes": {}}
     verdicts = []
+    results_f = out_dir / f"roi_results{suffix}.json"
+
+    def checkpoint_results():
+        # Incremental persistence: a crash in a later stage (e.g. an OOM in
+        # the optional LOD ablation) must never lose hours of measured
+        # sweeps again.
+        results_f.write_text(json.dumps(results, indent=1))
+
     for i, sc in enumerate(scenes):
         vs = roi_protocol.make_orbit_views(sc["radius"],
                                            args.quality_frames)
@@ -189,6 +197,8 @@ def main(argv=None):
             v["heldout_extra_loss_db"] = round(q_std["wpsnr"]
                                                - q_ho["wpsnr"], 3)
             v["heldout_ok"] = v["heldout_extra_loss_db"] <= 0.7
+        results["verdicts"] = verdicts
+        checkpoint_results()
 
     # ---- LOD ablation (Methodology:43 optional output): fine-tune the LOD
     # head on top of the selected checkpoint (training renders with the mip
@@ -219,21 +229,29 @@ def main(argv=None):
                         ({v0["policy_n"]} if v0.get("policy_n") else set()))
     vs0 = roi_protocol.make_orbit_views(scenes[0]["radius"],
                                         max(10, args.quality_frames // 3))
-    sweep_lod = roi_protocol.pareto_sweep(
-        pol, scenes[0], vs0, ab_budgets, width=args.width,
-        height=args.height, ref_steps=args.ref_steps,
-        n_frames=max(6, args.timing_frames // 3), n_coarse=args.n_coarse,
-        probe_stride=stride, block=args.block, ref_cache=args.ref_cache,
-        lod=True, policy_lod=pol_lod)
-    results["lod_ablation"] = sweep_lod
-    pl_, plod = sweep_lod["policy"][-1], sweep_lod["policy_lod"][-1]
-    lod_line = (f"LOD ablation ({scenes[0]['name']}, n={pl_['n']}, "
-                f"fine-tuned head): policy "
-                f"{pl_['wpsnr']:.2f} dB wPSNR / {pl_['ms']:.1f} ms -> "
-                f"+LOD {plod['wpsnr']:.2f} dB / {plod['ms']:.1f} ms "
-                f"(delta {plod['wpsnr'] - pl_['wpsnr']:+.2f} dB, "
-                f"{plod['ms'] - pl_['ms']:+.1f} ms).")
-    print(f"[roi] {lod_line}")
+    try:
+        # The LOD blend holds BOTH the fine and mip corner-gathers (+ lam)
+        # live per sample block — roughly 2.5x the plain policy march's
+        # peak; block//4 keeps the 1080p ablation inside HBM (a full-block
+        # attempt allocated 34 GB and killed a 2 h protocol run).
+        sweep_lod = roi_protocol.pareto_sweep(
+            pol, scenes[0], vs0, ab_budgets, width=args.width,
+            height=args.height, ref_steps=args.ref_steps,
+            n_frames=max(6, args.timing_frames // 3), n_coarse=args.n_coarse,
+            probe_stride=stride, block=max(8, args.block // 4),
+            ref_cache=args.ref_cache, lod=True, policy_lod=pol_lod)
+        results["lod_ablation"] = sweep_lod
+        pl_, plod = sweep_lod["policy"][-1], sweep_lod["policy_lod"][-1]
+        lod_line = (f"LOD ablation ({scenes[0]['name']}, n={pl_['n']}, "
+                    f"fine-tuned head): policy "
+                    f"{pl_['wpsnr']:.2f} dB wPSNR / {pl_['ms']:.1f} ms -> "
+                    f"+LOD {plod['wpsnr']:.2f} dB / {plod['ms']:.1f} ms "
+                    f"(delta {plod['wpsnr'] - pl_['wpsnr']:+.2f} dB, "
+                    f"{plod['ms'] - pl_['ms']:+.1f} ms).")
+        print(f"[roi] {lod_line}")
+    except Exception as e:  # the ablation is optional; never lose the run
+        lod_line = f"LOD ablation skipped ({type(e).__name__})."
+        print(f"[roi] LOD ablation failed: {e}", file=sys.stderr)
 
     n_ok = sum(v["success"] for v in verdicts if v["counts_toward_bar"])
     results["verdicts"] = verdicts
@@ -243,8 +261,7 @@ def main(argv=None):
     print(f"[roi] OVERALL: {n_ok}/4 scenes pass the 1.8x bar -> "
           f"{'SUCCESS' if n_ok >= 3 else 'FAIL'}")
 
-    (out_dir / f"roi_results{suffix}.json").write_text(
-        json.dumps(results, indent=1))
+    checkpoint_results()
 
     md = out_dir / ("ROI_RESULTS_hard.md" if suffix else "ROI_RESULTS.md")
     roi_protocol.write_report(results, md, suite=args.suite,
