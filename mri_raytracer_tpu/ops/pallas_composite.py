@@ -13,8 +13,14 @@ image and transmittance in VMEM for the entire sweep:
   Kernel: grid over column tiles of the intermediate; each invocation
   fori-loops over ALL planes with DOUBLE-BUFFERED slab DMA (plane m+1's
   column slab streams in while plane m composites, hiding DMA latency —
-  2056 sequential DMA round-trips otherwise dominate the kernel). Per
-  plane: build a-axis hat weights from iota + two SMEM scalars, one
+  2056 sequential DMA round-trips otherwise dominate the kernel). The
+  intensity, seg and baked-pred b-axis halves ride ONE fused slab per
+  plane (row blocks [0:Na] | [Na:2Na] | [..:+Na]) — a single DMA stream:
+  measured on a real v5e, a second concurrently double-buffered stream
+  corrupts the intensity output at near-diagonal poses even when its
+  payload is all-zero and its compositing math is compiled out (see
+  ``_make_kernel`` and scripts/diag_overlay_bisect.py). Per plane: build
+  a-axis hat weights from iota + two SMEM scalars, one
   (O, Na) x (Na, TILE_J) MXU matmul completes the trilinear resample, then
   transfer function, alpha, masks, label LUT compositing and the T <= 0.01
   gate run on the VPU with C/T never leaving VMEM. Intensity emission is
@@ -48,7 +54,21 @@ from mri_raytracer_tpu.render.params import BratsRenderParams
 def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                  tile_j: int, has_seg: bool, has_pred: bool, use_gamma: bool,
                  use_clip: bool, field_stride: int = 0,
-                 field_kstride: int = 1, field_width: int = 0):
+                 field_kstride: int = 1, field_width: int = 0,
+                 no_overlay: bool = False, echo: Optional[str] = None):
+    # SINGLE-STREAM LAYOUT: the seg and (baked, mode-1) pred b-axis halves
+    # ride in the SAME per-plane slab as the intensity rows — row blocks
+    # [0:Na] intensity, [Na:2Na] seg, [.. +Na] pred — so each plane is ONE
+    # DMA. Measured motivation (scripts/diag_overlay_bisect.py on a real
+    # v5e): with seg as a second concurrently double-buffered DMA stream,
+    # the kernel's INTENSITY output corrupts at the diagonal pose by
+    # ~40 dB vs the scan compositor even when the seg volume is all-zero,
+    # the LUT alphas are zero, and the overlay arithmetic is compiled out
+    # entirely — i.e. pure DMA-coexistence corruption, invariant to tile
+    # size and to the entry fast path. One stream sidesteps it and also
+    # halves semaphore traffic. (Mode-2's stride-S field keeps its own
+    # stream: its planes advance at m // kstride, which cannot share the
+    # intensity slab's per-plane slicing.)
     # field_stride > 0: the pred stream is a PREDICTION FIELD — per-plane
     # labels at stride-S intermediate positions, (n_fplanes, Op, Op) with
     # Op = out_res // S (neural march mode 2) — upsampled here by TWO
@@ -67,10 +87,14 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
     # (tile_j == out_res, so the slice always starts at column 0). Padded
     # rows of the column one-hot are never selected (qfc < Op).
     fw = field_width or tjp
-    def kernel(pp_ref, sc_ref, lut_ref, rtm_ref, t1b_hbm, t1nb_hbm, t1pb_hbm,
+    # Row-block offsets of the fused stream-0 slab.
+    seg_off = Na
+    pred_off = Na * (1 + int(has_seg))
+
+    def kernel(pp_ref, sc_ref, lut_ref, rtm_ref, t1b_hbm, t1pb_hbm,
                vmag_ref, dt_ref, r_ref, out_ref,
-               buf_ref, bufn_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
-               t_ref, started_ref, alive_ref, sem_ref, semn_ref, semp_ref):
+               buf_ref, bufp_ref, cg_ref, lr_ref, lg_ref, lb_ref,
+               t_ref, started_ref, alive_ref, sem_ref, semp_ref):
         # pp_ref (SMEM): (n_planes, 7) = off_a, sc_a, off_b, sc_b, lam, own, q
         # r_ref: per-pixel march-start position in plane units (see
         # shearwarp.entry_ratio_map) — the first-segment dt correction.
@@ -131,22 +155,21 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         dt = dt_ref[:]
 
         def _copy(stream, m, slot):
-            src, dst, sem = [
-                (t1b_hbm, buf_ref, sem_ref),
-                (t1nb_hbm, bufn_ref, semn_ref),
-                (t1pb_hbm, bufp_ref, semp_ref)][stream]
-            if stream == 2 and field_stride:
-                # Field stream: stride-S (padded) width, every K-th sweep
-                # plane. tile_j == out_res => tj == 0, so the padded-width
-                # slice is always the full row.
+            if stream == 2:
+                # Field stream (mode 2): stride-S (padded) width, every K-th
+                # sweep plane. tile_j == out_res => tj == 0, so the slice is
+                # the whole (Op, fw) plane — and it MUST be written as the
+                # whole plane: a dynamic lane offset `tj * tjp` is unprovably
+                # 128-aligned when tjp is not a 128-multiple (Mosaic rejects
+                # the memref_slice at compile time on real TPUs).
                 return pltpu.make_async_copy(
-                    src.at[m // field_kstride, :, pl.ds(tj * tjp, fw)],
-                    dst.at[slot], sem.at[slot])
+                    t1pb_hbm.at[m // field_kstride],
+                    bufp_ref.at[slot], semp_ref.at[slot])
             return pltpu.make_async_copy(
-                src.at[m, :, pl.ds(tj * tile_j, tile_j)],
-                dst.at[slot], sem.at[slot])
+                t1b_hbm.at[m, :, pl.ds(tj * tile_j, tile_j)],
+                buf_ref.at[slot], sem_ref.at[slot])
 
-        streams = [0] + ([1] if has_seg else []) + ([2] if has_pred else [])
+        streams = [0] + ([2] if has_pred and field_stride else [])
 
         # Prologue: stream plane 0 into slot 0.
         for s in streams:
@@ -210,7 +233,8 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                 mask_b = ((pos_b >= mask_b_lo)
                           & (pos_b <= mask_b_hi)).astype(jnp.float32)
 
-                v = jnp.dot(wa.astype(jnp.bfloat16), buf_ref[slot],
+                blk = buf_ref[slot]  # (n_rows, tile_j) fused slab
+                v = jnp.dot(wa.astype(jnp.bfloat16), blk[0:Na],
                             preferred_element_type=jnp.float32)  # (O, tile_j)
 
                 T = t_ref[:]
@@ -250,12 +274,19 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                 cg_ref[:] = cg_ref[:] + aI * T * val
                 T = T * (1.0 - aI)
 
+                if no_overlay:
+                    # Debug: overlay streams keep their DMA traffic but the
+                    # compositing math is dropped — isolates DMA coexistence
+                    # from overlay-code miscompiles.
+                    t_ref[:] = T
+                    alive_ref[0] = (jnp.max(T) > 0.01).astype(jnp.int32)
+                    return
                 if has_seg or (has_pred and not field_stride):
                     qan = jnp.round(jnp.clip(pos_a, a_clamp_lo, a_clamp_hi_n))
                     wan = (qan == iota_n).astype(jnp.float32)  # (O, Na)
 
-                def overlay(wmat, bufx_ref, T, rate, wcol=None):
-                    lab = jnp.dot(wmat.astype(jnp.bfloat16), bufx_ref[slot],
+                def overlay(wmat, rows, T, rate, wcol=None):
+                    lab = jnp.dot(wmat.astype(jnp.bfloat16), rows,
                                   preferred_element_type=jnp.float32)
                     if wcol is not None:  # stride-S field: column upsample
                         lab = jnp.dot(lab.astype(jnp.bfloat16),
@@ -280,9 +311,12 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
                     return T * (1.0 - aS)
 
                 if has_seg:
-                    T = overlay(wan, bufn_ref, T, (1.0, show_seg))
+                    T = overlay(wan, blk[seg_off:seg_off + Na], T,
+                                (1.0, show_seg))
                 if has_pred:
-                    T = overlay(wan_f if field_stride else wan, bufp_ref, T,
+                    T = overlay(wan_f if field_stride else wan,
+                                bufp_ref[slot] if field_stride
+                                else blk[pred_off:pred_off + Na], T,
                                 (1.5, show_pred),
                                 wcol=wbn_f if field_stride else None)
                 t_ref[:] = T
@@ -303,7 +337,10 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         out_ref[0] = cg_ref[:] + lr_ref[:]
         out_ref[1] = cg_ref[:] + lg_ref[:]
         out_ref[2] = cg_ref[:] + lb_ref[:]
-        out_ref[3] = t_ref[:]
+        if echo:  # debug: surface a kernel INPUT as seen at runtime
+            out_ref[3] = {"r": r_ref, "dt": dt_ref, "vmag": vmag_ref}[echo][:]
+        else:
+            out_ref[3] = t_ref[:]
 
     return kernel
 
@@ -317,6 +354,11 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                            pred_field: Optional[jnp.ndarray] = None,
                            field_stride: int = 0,
                            field_kstride: int = 1,
+                           vmem_budget: int = 13 * 2 ** 20,
+                           force_slow: bool = False,
+                           no_overlay: bool = False,
+                           synth_seg: bool = False,
+                           echo: Optional[str] = None,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for shearwarp.sweep_composite (ss=1).
 
@@ -365,12 +407,17 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # The price is re-reading the t1b slabs once per i-tile (~0.1 ms/100 MB
     # of HBM at 1024^2, cheap next to the VPU work saved).
     tile_j = out_res
-    stream_bytes = 2 * (2 * Na * tile_j + na_pred * fw_pad) * 2  # bf16 x2buf
+    # Fused stream-0 rows: intensity + optional seg + optional baked pred.
+    n_rows = Na * (1 + int(has_seg) + int(pred_s is not None))
+    field_rows = na_pred if pred_field is not None else 8
+    field_w = fw_pad if pred_field is not None else 128
+    stream_bytes = 2 * (n_rows * tile_j + field_rows * field_w) * 2  # bf16
+
     # Per-program VMEM: 6 f32 accumulators (C gray, 3x label, T, started) +
     # the pipeline's double-buffered blocks (vmag, dt, r in; the (4, ti, tj)
     # out) — 6 + 2*(3 + 4) = 20 f32 planes of (tile_i, tile_j) — plus the
     # stream buffers.
-    budget = 13 * 2 ** 20
+    budget = vmem_budget  # parameterized so tests can force multi-tile grids
     tile_i = 8
     for cand in range(out_res, 7, -8):
         if out_res % cand == 0 and \
@@ -407,21 +454,61 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                      Wb.astype(jnp.bfloat16),
                      preferred_element_type=jnp.bfloat16)  # (K, Na, O)
 
-    Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res, bcl, bcn)
-    if has_seg:
-        segsl = jnp.take(seg_s, zi, axis=0).astype(jnp.bfloat16)
-        t1nb = jnp.einsum("knb,kob->kno", segsl, Wbn.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.bfloat16)
-    else:
-        t1nb = jnp.zeros((1, Na, out_res), jnp.bfloat16)
+    # Fused stream-0 slab: seg / baked-pred nearest-resampled halves are
+    # CONCATENATED onto the intensity rows (row blocks [0:Na], [Na:2Na],
+    # [..:+Na]) so each plane is ONE double-buffered DMA — see the
+    # two-stream corruption note at the top of ``_make_kernel``.
+    blocks = [t1b]
+
+    def nearest_rows(vol_s):
+        # out[k, n, o] = vol_s[zi[k], n, idxb[k, o]] — ONE fused gather.
+        # Equivalent to take(vol_s, zi) @ batched-nearest-one-hot, but
+        # avoids materializing the (K, Na, Nb) plane take and the
+        # (K, O, Nb) one-hot, AND dodges a whole-program miscompile: the
+        # mere presence of take(seg_s, zi) in the render program corrupts
+        # the kernel's output at near-diagonal poses by ~40 dB even when
+        # the take's RESULT is numerically unused (multiplied by zero) —
+        # isolated by scripts/diag_overlay_bisect.py rows none/zeros/
+        # take-only/einsum-only on a real v5e; kernel inputs echoed back
+        # from inside the kernel (scripts/diag_kernel_inputs.py) are
+        # bit-identical outside the full render program, so this is a
+        # compilation-environment effect, not kernel math.
+        i = jnp.arange(out_res, dtype=jnp.float32)
+        posb = off_b[:, None] + i[None, :] * sc_b[:, None]
+        idxb = jnp.round(jnp.clip(posb, bcl, bcn)).astype(jnp.int32)
+        n_idx = jnp.arange(Na, dtype=jnp.int32)
+        return vol_s[zi[:, None, None], n_idx[None, :, None],
+                     idxb[:, None, :]].astype(jnp.bfloat16)
+
+    if has_seg and synth_seg:
+        # Debug: synth_seg True/'zeros' = constant zero seg rows (no
+        # take/einsum of seg_s); 'take' = keep the seg gather, drop the
+        # einsum; 'einsum' = keep the nearest einsum on a zeros operand,
+        # drop the gather. Isolates which XLA prep op triggers the
+        # diagonal-pose corruption.
+        if synth_seg == "take":
+            segsl = jnp.take(seg_s, zi, axis=0).astype(jnp.bfloat16)
+            blocks.append(jnp.zeros((n_planes, Na, out_res), jnp.bfloat16)
+                          + (0.0 * jnp.sum(segsl)).astype(jnp.bfloat16))
+        elif synth_seg == "einsum":
+            segsl = jnp.zeros((n_planes, Na, Nb), jnp.bfloat16)
+            Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res, bcl, bcn)
+            blocks.append(jnp.einsum("knb,kob->kno", segsl,
+                                     Wbn.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.bfloat16))
+        else:
+            blocks.append(jnp.zeros((n_planes, Na, out_res), jnp.bfloat16))
+    elif has_seg:
+        blocks.append(nearest_rows(seg_s))
     if pred_field is not None:
-        t1pb = pred_field.astype(jnp.bfloat16)  # (n_fplanes, Op, Op)
+        t1pb = pred_field.astype(jnp.bfloat16)  # (n_fplanes, Op, fw_pad)
     elif pred_s is not None:
-        predsl = jnp.take(pred_s, zi, axis=0).astype(jnp.bfloat16)
-        t1pb = jnp.einsum("knb,kob->kno", predsl, Wbn.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.bfloat16)
+        blocks.append(nearest_rows(pred_s))
+        t1pb = jnp.zeros((1, 8, 128), jnp.bfloat16)
     else:
-        t1pb = jnp.zeros((1, Na, out_res), jnp.bfloat16)
+        t1pb = jnp.zeros((1, 8, 128), jnp.bfloat16)
+    t1b = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+    assert t1b.shape[1] == n_rows, (t1b.shape, n_rows)
 
     near = jnp.maximum(p.near, 0.0)
     far = jnp.where(p.far > 0.0, p.far, jnp.float32(3e38))
@@ -437,13 +524,16 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     # kernel's entry fast path (correction provably identity there).
     r_fin = jnp.where(r_map < 1e37, r_map, -3e38)
     rtm = jnp.max(r_fin.reshape(n_ti, tile_i, n_tj, tile_j), axis=(1, 3))
+    if force_slow:
+        # Debug knob: q_m can never exceed 3e38, so every plane takes the
+        # slow (full entry-correction) branch — isolates fast-path defects.
+        rtm = jnp.full_like(rtm, 3e38)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pp, scalars, lut, rtm
         grid=(n_ti, n_tj),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # t1b
-            pl.BlockSpec(memory_space=pl.ANY),  # t1nb
-            pl.BlockSpec(memory_space=pl.ANY),  # t1pb
+            pl.BlockSpec(memory_space=pl.ANY),  # t1b (fused slab)
+            pl.BlockSpec(memory_space=pl.ANY),  # t1pb (mode-2 field)
             pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # vmag
             pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # dt
             pl.BlockSpec((tile_i, tile_j), lambda i, j, *s: (i, j)),  # r
@@ -451,11 +541,8 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
         out_specs=pl.BlockSpec((4, tile_i, tile_j),
                                lambda i, j, *s: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1b double buffer
-            pltpu.VMEM((2, Na, tile_j), jnp.bfloat16),  # t1nb double buffer
-            pltpu.VMEM((2, na_pred,
-                        fw_pad if pred_field is not None
-                        else tile_j), jnp.bfloat16),  # t1pb/field buffer
+            pltpu.VMEM((2, n_rows, tile_j), jnp.bfloat16),  # fused 2-buffer
+            pltpu.VMEM((2, field_rows, field_w), jnp.bfloat16),  # field
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # C gray
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L r
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L g
@@ -465,7 +552,6 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pltpu.SMEM((1,), jnp.int32),  # alive (early-termination flag)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -473,11 +559,12 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                      use_gamma, use_clip,
                      field_stride if pred_field is not None else 0,
                      field_kstride,
-                     fw_pad if pred_field is not None else 0),
+                     fw_pad if pred_field is not None else 0,
+                     no_overlay=no_overlay, echo=echo),
         out_shape=jax.ShapeDtypeStruct((4, out_res, out_res), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pp, scalars, p.lut.astype(jnp.float32), rtm, t1b, t1nb, t1pb,
+    )(pp, scalars, p.lut.astype(jnp.float32), rtm, t1b, t1pb,
       geom.vmag, geom.dt_map, r_map)
     C = jnp.moveaxis(out[:3], 0, -1)
     T = out[3]
