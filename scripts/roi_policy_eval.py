@@ -27,7 +27,11 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--ref-steps", type=int, default=512)
-    ap.add_argument("--budgets", default="16,24,32,48,64,96")
+    ap.add_argument("--budgets", default="16,24,28,32,36,40,48,64,96",
+                    help="fine grid around the expected operating points "
+                         "(24-40): the success rule picks the FASTEST "
+                         "qualifying budget, so coarse spacing rounds the "
+                         "achievable speedup down")
     ap.add_argument("--train-steps", type=int, default=800)
     ap.add_argument("--train-res", type=int, default=96)
     ap.add_argument("--quality-frames", type=int, default=30,
@@ -120,12 +124,19 @@ def main(argv=None):
         print(f"[roi] loaded policy from {args.policy_in} "
               f"(lod checkpoint: {pol_lod_in is not None})")
     else:
+        # Selection "at target speed" (Methodology:53): validate at the
+        # OPERATING budgets — about tuned/1.8x and nearby — not the training
+        # budget. (A protocol run that selected on n=48 alone picked the
+        # near-init step-50 checkpoint and lost the low-budget gains that
+        # the 1.8x bar is scored on.)
+        op = max(16, int(round(args.tuned_budget / 1.8 / 4)) * 4)
         pol, losses, sel = roi_policy.train_policy(
             jax.random.PRNGKey(0), tr_sc, views, refs, p,
             R, R, steps=args.train_steps, n_coarse=args.n_coarse,
             n_fine=budgets[len(budgets) // 2], weights=weights,
             probe_stride=train_stride, extra_scenes=tasks[1:],
-            val_views=val_views, val_refs=val_refs, val_weights=val_weights)
+            val_views=val_views, val_refs=val_refs, val_weights=val_weights,
+            val_budgets=(max(16, op - 8), op, op + 8))
         print(f"[roi] policy trained: loss {losses[0]:.2e} -> "
               f"{losses[-1]:.2e}; "
               f"selected step {sel['selected_step']}/{sel['steps_run']} "
