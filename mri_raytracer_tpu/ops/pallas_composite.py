@@ -461,24 +461,28 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     blocks = [t1b]
 
     def nearest_rows(vol_s):
-        # out[k, n, o] = vol_s[zi[k], n, idxb[k, o]] — ONE fused gather.
-        # Equivalent to take(vol_s, zi) @ batched-nearest-one-hot, but
-        # avoids materializing the (K, Na, Nb) plane take and the
-        # (K, O, Nb) one-hot, AND dodges a whole-program miscompile: the
-        # mere presence of take(seg_s, zi) in the render program corrupts
-        # the kernel's output at near-diagonal poses by ~40 dB even when
-        # the take's RESULT is numerically unused (multiplied by zero) —
-        # isolated by scripts/diag_overlay_bisect.py rows none/zeros/
-        # take-only/einsum-only on a real v5e; kernel inputs echoed back
-        # from inside the kernel (scripts/diag_kernel_inputs.py) are
-        # bit-identical outside the full render program, so this is a
-        # compilation-environment effect, not kernel math.
-        i = jnp.arange(out_res, dtype=jnp.float32)
-        posb = off_b[:, None] + i[None, :] * sc_b[:, None]
-        idxb = jnp.round(jnp.clip(posb, bcl, bcn)).astype(jnp.int32)
-        n_idx = jnp.arange(Na, dtype=jnp.int32)
-        return vol_s[zi[:, None, None], n_idx[None, :, None],
-                     idxb[:, None, :]].astype(jnp.bfloat16)
+        # out[k, n, o] = vol_s[zi[k], n, round(off_b[k] + o*sc_b[k])] as
+        # TWO one-hot MXU matmuls (z-pick, then the nearest b-resample).
+        # Exact for integer labels (one-hot dot sums exactly one term).
+        # Deliberately NO jnp.take and NO gather:
+        # - take(vol_s, zi) triggers a whole-program miscompile — the
+        #   kernel's output corrupts at near-diagonal poses by ~40 dB even
+        #   when the take's RESULT is numerically unused (multiplied by
+        #   zero) — isolated by scripts/diag_overlay_bisect.py rows
+        #   none/zeros/take-only/einsum-only on a real v5e; kernel inputs
+        #   echoed from inside the kernel (scripts/diag_kernel_inputs.py)
+        #   are bit-identical outside the full render program, so it is a
+        #   compilation-environment effect, not kernel math;
+        # - an advanced-index gather along the minor dim is scalarized on
+        #   TPU (measured: 130 -> 1.6 fps at 1024^2/256^3).
+        oz = (jnp.arange(Nk, dtype=jnp.float32)[None, :]
+              == zi[:, None].astype(jnp.float32)).astype(jnp.bfloat16)
+        picked = jnp.einsum("kz,znb->knb", oz, vol_s.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.bfloat16)
+        Wbn = sw._batched_nearest(off_b, sc_b, Nb, out_res, bcl, bcn)
+        return jnp.einsum("knb,kob->kno", picked,
+                          Wbn.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.bfloat16)
 
     if has_seg and synth_seg:
         # Debug: synth_seg True/'zeros' = constant zero seg rows (no
