@@ -235,6 +235,16 @@ def auto_probe_stride(width: int) -> int:
     return max(3, min(8, width // 240))
 
 
+def auto_rho_upsample(probe_stride: int) -> int:
+    """Decision-grid upsampling for ``render_policy(rho_upsample=...)``:
+    keep the DECISION blocks at <= 4 px even when the probe blocks grow
+    with resolution — at 1080p the 8x8 piecewise-constant rho is too
+    blocky (policy misses the B1-0.5dB bar where stride 4 clears it;
+    measured in scripts/diag_roi_stride.py) while interpolated decisions
+    keep the coarse pass at the stride-8 cost."""
+    return max(1, probe_stride // 4)
+
+
 def scene_tuple(scene) -> Tuple:
     return (scene.get("mixed_p", scene["mixed"]), scene["feat_rows"])
 
@@ -388,7 +398,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                  n_frames: int = 30, cfg=roi_policy.PolicyConfig(),
                  n_coarse: int = 32, probe_stride: int = 1,
                  block: Optional[int] = None, ref_cache=None,
-                 lod: bool = False, policy_lod=None) -> Dict:
+                 lod: bool = False, policy_lod=None,
+                 rho_upsample: Optional[int] = None) -> Dict:
     """Per-budget baseline-vs-policy measurements on one scene, at the
     showcase-plan reporting protocol (``docs/showcase-plan.md:41-46``):
     per-frame PSNR / ROI-weighted PSNR / SSIM vs the fine reference over
@@ -411,6 +422,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     p = p or scene["params"]
     mixed = scene_tuple(scene)[0]
     st = scene_tuple(scene)
+    ru = (auto_rho_upsample(probe_stride) if rho_upsample is None
+          else rho_upsample)
     tag = scene.get("name", "scene")
     lod_vol = scene.get("mixed_p1") if lod else None
     kinds = ("baseline", "policy") + (("policy_lod",) if lod_vol is not None
@@ -443,7 +456,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
 
     out = {"budgets": list(budgets),
            "ref_steps": ref_steps, "width": width, "height": height,
-           "quality_frames": len(views), "timing_frames": n_frames}
+           "quality_frames": len(views), "timing_frames": n_frames,
+           "probe_stride": probe_stride, "rho_upsample": ru}
     for kind in kinds:
         out[kind] = []
     for n in budgets:
@@ -462,6 +476,7 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
                 pimg, stats = roi_policy.render_policy(
                     pol_of[kind], *st, bvj, p, width, height, n_coarse, n,
                     cfg, probe_stride=probe_stride, block=block,
+                    rho_upsample=ru,
                     lod_vol=lod_vol if kind == "policy_lod" else None)
                 q = _metrics_of(pimg, ref, wmap)
                 rows[kind]["psnr"].append(q[0])
@@ -480,7 +495,8 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
             ms[kind] = timed_ms(
                 lambda lv=lv, pk=pk: roi_policy.render_policy(
                     pk, *st, bv0, p, width, height, n_coarse, n, cfg,
-                    probe_stride=probe_stride, block=block, lod_vol=lv)[0])
+                    probe_stride=probe_stride, block=block, lod_vol=lv,
+                    rho_upsample=ru)[0])
         for kind in kinds:
             r = rows[kind]
             rec = {"n": n, "steps": float(np.mean(r["steps"])),

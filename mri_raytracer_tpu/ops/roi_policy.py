@@ -281,13 +281,14 @@ def render_fixed(mixed: jnp.ndarray, basis_vec: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "n_coarse", "n_fine",
                                     "cfg", "roi_clamp", "probe_stride",
-                                    "block"))
+                                    "block", "rho_upsample"))
 def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                   basis_vec: jnp.ndarray, p: BratsRenderParams,
                   width: int, height: int, n_coarse: int = 32,
                   n_fine: int = 64, cfg: PolicyConfig = PolicyConfig(),
                   roi_clamp: bool = True, probe_stride: int = 1,
                   block: Optional[int] = None, lod_vol=None,
+                  rho_upsample: int = 1,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Policy-guided adaptive render. Returns (image, stats).
 
@@ -295,7 +296,14 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     ``pack_feature_rows``. ``probe_stride``: a stride-S probe grid shares
     the coarse pass + policy decisions across S x S pixel blocks (the
     density field is smooth, so the per-block rho reuses fine; each ray
-    still places its OWN fine samples via its own t bins). stats:
+    still places its OWN fine samples via its own t bins).
+    ``rho_upsample``: bilinearly interpolate the DENSITY field rho from
+    the stride-S probe grid to a stride-S/u decision grid before the CDF
+    inversion — at 1080p an 8x8 piecewise-CONSTANT decision block is too
+    blocky (misses the B1-0.5dB bar where stride 4 clears it) while the
+    probe FEATURES are smooth by construction, so interpolating rho
+    recovers most of stride-4's quality at stride-8's coarse-pass cost.
+    stats:
     'steps_per_ray' — effective useful samples per ray (fine samples
     landing in unskipped segments + the amortized coarse probes);
     'mean_scale', 'mean_skip' — policy output summaries.
@@ -396,10 +404,23 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
     else:
         _lam = None
 
-    # ---- fine placement + march (rho shared per S x S block; each ray
-    # keeps its own t bins). The CDF inversion runs once per probe BLOCK in
-    # normalized ray coordinates s in [0,1] (bins are uniform in s), then
-    # maps affinely onto each ray's [t0, t1] — an S^2 saving on the one-hot
+    # Stats/LOD read the PROBE-grid rho; the CDF below may read a finer
+    # interpolated copy.
+    rho_c = rho
+    Su = S
+    if rho_upsample > 1 and S > 1:
+        if S % rho_upsample:
+            raise ValueError(f"rho_upsample={rho_upsample} must divide "
+                             f"probe_stride={S}")
+        hs, ws, nc = rho.shape
+        u = rho_upsample
+        rho = jax.image.resize(rho, (hs * u, ws * u, nc), method="linear")
+        Su = S // u
+
+    # ---- fine placement + march (rho shared per Su x Su block; each ray
+    # keeps its own t bins). The CDF inversion runs once per decision BLOCK
+    # in normalized ray coordinates s in [0,1] (bins are uniform in s), then
+    # maps affinely onto each ray's [t0, t1] — an Su^2 saving on the one-hot
     # contraction, exact by construction.
     # Importance-consistent per-sample dt (expected local spacing): realized
     # neighbor spacing bleeds skipped-gap widths into content-run edges and
@@ -413,11 +434,14 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
         s_f, ds_f = inverse_cdf_sample_mm(s_bins, rho, u_blk,
                                           return_bin_dt=True,
                                           n_total=n_fine)  # (h, w, |blk|)
-        if S > 1:
-            s_f = jnp.repeat(jnp.repeat(s_f, S, axis=0), S,
+        if Su > 1:
+            s_f = jnp.repeat(jnp.repeat(s_f, Su, axis=0), Su,
                              axis=1)[:height, :width]
-            ds_f = jnp.repeat(jnp.repeat(ds_f, S, axis=0), S,
+            ds_f = jnp.repeat(jnp.repeat(ds_f, Su, axis=0), Su,
                               axis=1)[:height, :width]
+        else:
+            s_f = s_f[:height, :width]
+            ds_f = ds_f[:height, :width]
         return t0[..., None] + s_f * span, ds_f * span
 
     if block is not None and block < n_fine:
@@ -455,7 +479,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
 
     # ---- stats: useful samples = fine samples in live segments.
     valid_c = valid[::S, ::S] if S > 1 else valid
-    mass = rho * ((t1_c - t0_c)[..., None] / n_coarse)
+    mass = rho_c * ((t1_c - t0_c)[..., None] / n_coarse)
     frac_live = jnp.sum(jnp.where(T_in > 0.01, mass, 0.0), -1) \
         / jnp.maximum(jnp.sum(mass, -1), 1e-9)
     steps = jnp.mean(jnp.where(valid_c,

@@ -51,7 +51,11 @@ def main(argv=None):
 
     shape = tuple(int(x) for x in args.shape.split(","))
     budgets = [int(x) for x in args.budgets.split(",")]
-    strides = [int(x) for x in args.strides.split(",")]
+    # "8" = probe stride 8; "8/2" = probe stride 8 with the rho decision
+    # field bilinearly upsampled 2x (decisions at stride 4).
+    strides = [(int(s.split("/")[0]),
+                int(s.split("/")[1]) if "/" in s else 1)
+               for s in args.strides.split(",")]
     want = args.scenes.split(",")
     scenes = [s for s in roi_protocol.build_scenes(shape, suite="showcase")
               if s["name"] in want]
@@ -96,15 +100,16 @@ def main(argv=None):
             bq = q_of(lambda bv, n=n: roi_policy.render_fixed(
                 mixed, bv, p, W, H, n, block=BL)[0])
             line = f"[stride]   n={n:3d} fixed {bq:6.2f} dB | "
-            for S in strides:
-                pq = q_of(lambda bv, n=n, S=S: roi_policy.render_policy(
+            for S, u in strides:
+                pq = q_of(lambda bv, n=n, S=S, u=u: roi_policy.render_policy(
                     pol, mixed, rows, bv, p, W, H, NC, n,
-                    probe_stride=S, block=BL)[0])
-                ms = timed(lambda n=n, S=S: roi_policy.render_policy(
+                    probe_stride=S, block=BL, rho_upsample=u)[0])
+                ms = timed(lambda n=n, S=S, u=u: roi_policy.render_policy(
                     pol, mixed, rows, jnp.asarray(views[0]), p, W, H, NC, n,
-                    probe_stride=S, block=BL)[0])
+                    probe_stride=S, block=BL, rho_upsample=u)[0])
                 mark = "*" if (pq >= b64 - 0.5 and ms < ms64 / 1.8) else " "
-                line += f"S{S}: {pq:6.2f} dB {ms:6.1f} ms{mark} | "
+                tag = f"S{S}" + (f"/{u}" if u > 1 else "")
+                line += f"{tag}: {pq:6.2f} dB {ms:6.1f} ms{mark} | "
             print(line, flush=True)
     return 0
 

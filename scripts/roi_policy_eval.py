@@ -74,10 +74,11 @@ def main(argv=None):
     shape = tuple(int(x) for x in args.shape.split(","))
     budgets = [int(x) for x in args.budgets.split(",")]
     stride = args.probe_stride or roi_protocol.auto_probe_stride(args.width)
+    ru = roi_protocol.auto_rho_upsample(stride)
     scenes = roi_protocol.build_scenes(shape, suite=args.suite)
     print(f"[roi] scenes: {[s['name'] for s in scenes]} "
           f"backend={jax.default_backend()} res={args.width}x{args.height} "
-          f"probe_stride={stride}")
+          f"probe_stride={stride} rho_upsample={ru}")
 
     # ---- train multi-scene on the benchmark scenes' TRAIN views
     # (Methodology:50 "a small set of volumes (medical + non-medical)").

@@ -137,12 +137,17 @@ def test_policy_training_validation_selection(scene):
     val_refs = [jnp.asarray(roi_policy.render_fixed(scene["mixed"], v, p,
                                                     48, 48, 192)[0])
                 for v in val_views]
+    # val_budgets pinned to the training budget so the re-render below can
+    # check the selected checkpoint exactly (the default validates at a SET
+    # of operating budgets and records their mean).
     pol, losses, sel = roi_policy.train_policy(
         jax.random.PRNGKey(0), _st(scene), views, refs, p, 48, 48,
         steps=40, n_coarse=12, n_fine=24, lr=1e-3,
-        val_views=val_views, val_refs=val_refs, eval_every=5, patience=2)
+        val_views=val_views, val_refs=val_refs, eval_every=5, patience=2,
+        val_budgets=(24,))
     assert sel["selected_step"] >= 5
     assert len(sel["val_wpsnr_curve"]) >= 2
+    assert sel["val_budgets"] == [24]
     # The returned policy IS the selected checkpoint: its val wPSNR matches
     # the recorded best.
     img, _ = roi_policy.render_policy(pol, *_st(scene), val_views[0], p,
@@ -150,6 +155,30 @@ def test_policy_training_validation_selection(scene):
     err = np.mean((np.asarray(img) - np.asarray(val_refs[0])) ** 2)
     q = -10.0 * np.log10(max(err, 1e-12))
     assert abs(q - sel["best_val_wpsnr"]) < 0.15
+
+
+def test_rho_upsample_improves_blocky_decisions(scene):
+    """rho_upsample interpolates the decision field between probe blocks:
+    at a coarse probe stride it must not hurt, and typically helps (the
+    piecewise-constant blocks misplace samples at content edges)."""
+    p = scene["params"]
+    pol = roi_policy.init_policy(jax.random.PRNGKey(0))
+    bv = _basis(scene, 0.7, 1.1)
+    ref, _ = roi_policy.render_fixed(scene["mixed"], bv, p, 64, 64, 192)
+
+    def q(u):
+        img, _ = roi_policy.render_policy(pol, *_st(scene), bv, p, 64, 64,
+                                          16, 24, probe_stride=8,
+                                          rho_upsample=u)
+        mse = float(np.mean((np.asarray(img) - np.asarray(ref)) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    q1, q2 = q(1), q(2)
+    assert np.isfinite(q1) and np.isfinite(q2)
+    assert q2 >= q1 - 0.3  # never materially worse
+    with pytest.raises(ValueError):
+        roi_policy.render_policy(pol, *_st(scene), bv, p, 64, 64, 16, 24,
+                                 probe_stride=8, rho_upsample=3)
 
 
 def test_packed_trilinear_matches_base(scene):
