@@ -413,27 +413,19 @@ def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
                          inplane_global=None, block: int = 16,
                          kstride: int = 1):
     """Mode-2 fast path: strided INR prediction field (all-MXU pass) fed to
-    the fused Pallas compositing kernel as a field overlay, then the final
-    warp. Accepts the same crop contract as ``shearwarp.render_prepared``."""
+    the fused Pallas compositing kernel as a field overlay. Returns the
+    INTERMEDIATE image C — the caller warps it to screen through
+    ``shearwarp.warp_program`` in a SEPARATE jit program (the Pallas warp
+    kernel must not coexist with the fused compositor in one compiled
+    program: scripts/diag_flags.py measured 40.66 vs 64.05 dB at the
+    diagonal pose from its mere gated presence). Accepts the same crop
+    contract as ``shearwarp.render_prepared``."""
     from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
 
     basis = unpack_basis(basis_vec)
-    Kl, Nal, Nbl = mixed_s.shape
-    nk = nk_global if nk_global is not None else Kl
-    na_g, nb_g = inplane_global if inplane_global is not None else (Nal, Nbl)
-    z0 = jnp.float32(0.0) if z_offset is None \
-        else jnp.asarray(z_offset, jnp.float32)
-    if ab_offset is None:
-        a_lo = b_lo = jnp.float32(0.0)
-    else:
-        a_lo = jnp.asarray(ab_offset[0], jnp.float32)
-        b_lo = jnp.asarray(ab_offset[1], jnp.float32)
-    content_lo = jnp.stack([z0, a_lo, b_lo])
-    k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
-    content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
-    geom = sw.sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
-                             content_lo, content_hi,
-                             frustum_wh=(width, height))
+    geom = sw.content_geometry(basis, p, mixed_s.shape, axis, out_res,
+                               width, height, z_offset, nk_global,
+                               ab_offset, inplane_global)
     field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
                           stride, z_offset=z_offset, nk_global=nk_global,
                           block=block, kstride=kstride)
@@ -446,8 +438,7 @@ def _render_neural_fused(mixed_s, modsz_s, seg_s, params, basis_vec, p,
                                   pred_field=field.astype(jnp.bfloat16),
                                   field_stride=stride,
                                   field_kstride=kstride)
-    return sw.warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
-                             use_pallas=jax.default_backend() == "tpu")
+    return C
 
 
 class NeuralBratsRenderer:
@@ -613,16 +604,24 @@ class NeuralBratsRenderer:
         assert out_res % self.stride == 0, (out_res, self.stride)
         slab = (k_lo, k_hi) != (0, nk)
         _, use_gamma, use_clip = self._flags(p)
-        return _render_neural_fused(
-            mixed_s, modsz_s, seg_s, self.params, jnp.asarray(basis_vec), p,
+        z_off = jnp.float32(k_lo) if slab else None
+        ab = (jnp.float32(a_lo), jnp.float32(b_lo)) \
+            if inplane_cropped else None
+        ipg = (na_g, nb_g) if inplane_cropped else None
+        basis_vec = jnp.asarray(basis_vec)
+        C = _render_neural_fused(
+            mixed_s, modsz_s, seg_s, self.params, basis_vec, p,
             self.model, axis, self.width, self.height, out_res,
             seg_s is not None, self.stride, use_gamma, use_clip,
-            z_offset=jnp.float32(k_lo) if slab else None,
-            nk_global=nk if slab else None,
-            ab_offset=(jnp.float32(a_lo), jnp.float32(b_lo))
-            if inplane_cropped else None,
-            inplane_global=(na_g, nb_g) if inplane_cropped else None,
-            kstride=self.kstride)
+            z_offset=z_off, nk_global=nk if slab else None,
+            ab_offset=ab, inplane_global=ipg, kstride=self.kstride)
+        # Warp in its own program (Pallas kernel coexistence — see
+        # _render_neural_fused docstring).
+        return sw.warp_program(C, basis_vec, p, axis, self.width,
+                               self.height, out_res,
+                               tuple(int(d) for d in mixed_s.shape),
+                               z_off, nk if slab else None, ab, ipg,
+                               use_pallas=jax.default_backend() == "tpu")
 
     def render_numpy(self, basis, p) -> "np.ndarray":
         import numpy as np

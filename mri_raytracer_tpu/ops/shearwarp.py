@@ -790,13 +790,16 @@ def prepare_sweep_volumes(mods, seg, pred, p, axis, has_seg, has_pred):
     return mixed_s, seg_s, pred_s
 
 
-def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
-                          height, out_res, supersample, use_gamma, use_clip,
-                          use_pallas, composite, z_offset=None,
-                          nk_global=None, ab_offset=None,
-                          inplane_global=None):
-    basis = unpack_basis(basis_vec)
-    Kl, Nal, Nbl = mixed_s.shape
+def content_geometry(basis, p, dims_local, axis, out_res, width, height,
+                     z_offset=None, nk_global=None, ab_offset=None,
+                     inplane_global=None) -> SweepGeom:
+    """Sweep geometry for (possibly cropped/slabbed) prepared volumes —
+    the single source of the content-box contract, shared by the
+    compositing and warp halves of the split pipeline (they run in
+    SEPARATE jit programs, see ``render_prepared``) and by the neural
+    fused path; the geometry must match bit-exactly across programs, so
+    it is built from the same traced offsets in each."""
+    Kl, Nal, Nbl = dims_local
     nk = nk_global if nk_global is not None else Kl
     na_g, nb_g = inplane_global if inplane_global is not None else (Nal, Nbl)
     z0 = jnp.float32(0.0) if z_offset is None \
@@ -809,21 +812,43 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
     content_lo = jnp.stack([z0, a_lo, b_lo])
     k_hi = z0 + Kl if z_offset is not None else jnp.float32(nk)
     content_hi = jnp.stack([k_hi, a_lo + Nal, b_lo + Nbl])
-    geom = sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
+    return sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
                           content_lo, content_hi,
                           frustum_wh=(width, height))
+
+
+def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
+                          height, out_res, supersample, use_gamma, use_clip,
+                          use_pallas, composite, z_offset=None,
+                          nk_global=None, ab_offset=None,
+                          inplane_global=None, warp=True):
+    basis = unpack_basis(basis_vec)
+    geom = content_geometry(basis, p, mixed_s.shape, axis, out_res, width,
+                            height, z_offset, nk_global, ab_offset,
+                            inplane_global)
     if composite == "pallas" and supersample == 1 and out_res % 128 == 0:
         from mri_raytracer_tpu.ops.pallas_composite import sweep_composite_pallas
 
         C, T = sweep_composite_pallas(mixed_s, seg_s, pred_s, geom, p, axis,
                                       out_res, use_gamma, use_clip,
                                       z_offset=z_offset, nk_global=nk_global)
+        # NEVER put the Pallas warp kernel in the same program as the fused
+        # compositor: even gated behind lax.cond with the gather branch
+        # SELECTED, its mere presence in the compiled program corrupts the
+        # compositor's output at near-diagonal poses (measured 40.66 vs
+        # 64.05 dB at 1024^2/256^3, scripts/diag_flags.py, r4) — the same
+        # Mosaic coexistence class as the two-stream DMA corruption
+        # (pallas_composite._make_kernel). Callers that want the fast warp
+        # split the pipeline at this boundary (render_prepared).
+        use_pallas = False
     else:
         # Per-plane scan with unroll: smaller live intermediates than the
         # slab-batched einsum variant (slab kept for reference/tests).
         C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
                                supersample, use_gamma, use_clip,
                                z_offset=z_offset, nk_global=nk_global)
+    if not warp:
+        return C
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
                           use_pallas=use_pallas)
 
@@ -833,18 +858,39 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                                     "supersample", "has_seg", "has_pred",
                                     "use_gamma", "use_clip", "use_pallas",
                                     "composite", "nk_global",
-                                    "inplane_global"))
+                                    "inplane_global", "warp"))
 def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                      height, out_res, supersample, has_seg, has_pred,
                      use_gamma=True, use_clip=True, use_pallas=False,
                      composite="scan", z_offset=None, nk_global=None,
-                     ab_offset=None, inplane_global=None):
+                     ab_offset=None, inplane_global=None, warp=True):
     return _render_prepared_impl(mixed_s, seg_s if has_seg else None,
                                  pred_s if has_pred else None, basis_vec, p,
                                  axis, width, height, out_res, supersample,
                                  use_gamma, use_clip, use_pallas, composite,
                                  z_offset, nk_global, ab_offset,
-                                 inplane_global)
+                                 inplane_global, warp=warp)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("axis", "width", "height", "out_res",
+                                    "dims_local", "nk_global",
+                                    "inplane_global", "use_pallas"))
+def warp_program(C, basis_vec, p, axis, width, height, out_res, dims_local,
+                 z_offset=None, nk_global=None, ab_offset=None,
+                 inplane_global=None, use_pallas=True):
+    """Standalone warp half of the split pipeline: rebuilds the (cheap,
+    scalar-dominated) sweep geometry from the same traced offsets as the
+    compositing program, then warps the intermediate to screen. Lives in
+    its OWN jit program so the Pallas warp kernel never shares a compiled
+    program with the fused Pallas compositor (coexistence miscompile —
+    see _render_prepared_impl)."""
+    basis = unpack_basis(basis_vec)
+    geom = content_geometry(basis, p, dims_local, axis, out_res, width,
+                            height, z_offset, nk_global, ab_offset,
+                            inplane_global)
+    return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
+                          use_pallas=use_pallas)
 
 
 def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
@@ -867,9 +913,28 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
     ab = None if ab_offset is None else (
         jnp.asarray(ab_offset[0], jnp.float32),
         jnp.asarray(ab_offset[1], jnp.float32))
+    basis_vec = basis.pack() if isinstance(basis, CameraBasis) else basis
+    fused = (composite == "pallas" and supersample == 1
+             and out_res % 128 == 0)
+    if fused and use_pallas:
+        # Split pipeline: fused Pallas compositing and the Pallas warp must
+        # live in SEPARATE jit programs (coexistence miscompile, see
+        # _render_prepared_impl). Two async dispatches per frame; the
+        # intermediate C (out_res^2 x 3 f32) stays device-resident.
+        C = _render_prepared(mixed_s,
+                             seg_s if seg_s is not None else zeros,
+                             pred_s if pred_s is not None else zeros,
+                             basis_vec, p, axis, width, height, out_res,
+                             supersample, seg_s is not None,
+                             pred_s is not None, use_gamma, use_clip,
+                             False, composite, z_off, nk_global, ab,
+                             inplane_global, warp=False)
+        return warp_program(C, basis_vec, p, axis, width, height, out_res,
+                            tuple(int(d) for d in mixed_s.shape), z_off,
+                            nk_global, ab, inplane_global, use_pallas=True)
     return _render_prepared(mixed_s, seg_s if seg_s is not None else zeros,
                             pred_s if pred_s is not None else zeros,
-                            basis.pack() if isinstance(basis, CameraBasis) else basis,
+                            basis_vec,
                             p, axis, width, height, out_res, supersample,
                             seg_s is not None, pred_s is not None,
                             use_gamma, use_clip, use_pallas, composite,
@@ -929,6 +994,21 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
         use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
         use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
     use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and composite == "pallas" and supersample == 1 \
+            and out_res % 128 == 0:
+        # Route through the split pipeline (prep -> composite -> warp as
+        # separate programs): the fused compositor and the Pallas warp must
+        # not share a jit program (see _render_prepared_impl). The uncached
+        # prep program costs ~7 ms, same as the blend the single program
+        # would run in-graph.
+        mixed_s, seg_s, pred_s = prepare_sweep_volumes(
+            mods, seg if seg is not None else zeros,
+            pred if pred is not None else zeros, p, axis,
+            seg is not None, pred is not None)
+        return render_prepared(mixed_s, seg_s, pred_s, basis, p, axis,
+                               width, height, out_res,
+                               supersample=supersample, use_gamma=use_gamma,
+                               use_clip=use_clip, composite=composite)
     return _render_sweep_axis(mods, seg if seg is not None else zeros,
                               pred if pred is not None else zeros,
                               basis.pack() if isinstance(basis, CameraBasis) else basis,

@@ -67,35 +67,42 @@ def main():
         return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
 
     axis = sw.dominant_axis(b)
+    print(f"[flags] axis={axis}, preparing volumes...", flush=True)
     prep = sw.prepare_sweep_volumes(mods, seg, jnp.zeros((1, 1, 1),
                                                          jnp.int32),
                                     p, axis, True, False)
     mixed_s, seg_s = prep[0], prep[1]
+    jax.block_until_ready(mixed_s)
+    print("[flags] prep done", flush=True)
 
-    # What does the warp fit-check say at this pose?
-    from mri_raytracer_tpu.ops.pallas_warp import warp_fit_starts
-    from mri_raytracer_tpu.ops.shearwarp import (camera_rays, sweep_geometry,
-                                                 _permute3, _EPS)
-    geom = sw.sweep_geometry(b, p, mixed_s.shape, axis, 1024,
-                             frustum_wh=(SIZE, SIZE))
-    ro, rd = camera_rays(b, SIZE, SIZE)
-    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
-    dk = rd[..., order[0]]
-    denom = jnp.where(jnp.abs(dk) < _EPS, _EPS, dk)
-    t_base = (geom.w_base - geom.e[0]) / denom
-    i_map = jnp.clip((geom.e[1] + t_base * rd[..., order[1]] - geom.a0)
-                     / geom.da, 0.0, 1023.0)
-    j_map = jnp.clip((geom.e[2] + t_base * rd[..., order[2]] - geom.b0)
-                     / geom.db, 0.0, 1023.0)
-    _, _, _, fits = warp_fit_starts(i_map, j_map, 1024, SIZE, SIZE)
-    print(f"[flags] warp fits at diagonal/1024: {bool(fits)}", flush=True)
+    # What does the warp fit-check say at this pose? (one jit program:
+    # eager per-op dispatch over the tunnel takes minutes)
+    @jax.jit
+    def _probe_fits(basis_vec):
+        from mri_raytracer_tpu.ops.pallas_warp import warp_fit_starts
+        from mri_raytracer_tpu.ops.shearwarp import (camera_rays, _EPS,
+                                                     unpack_basis)
+        bb = unpack_basis(basis_vec)
+        geom = sw.sweep_geometry(bb, p, tuple(mixed_s.shape), axis, 1024,
+                                 frustum_wh=(SIZE, SIZE))
+        ro, rd = camera_rays(bb, SIZE, SIZE)
+        order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+        dk = rd[..., order[0]]
+        denom = jnp.where(jnp.abs(dk) < _EPS, _EPS, dk)
+        t_base = (geom.w_base - geom.e[0]) / denom
+        i_map = jnp.clip((geom.e[1] + t_base * rd[..., order[1]] - geom.a0)
+                         / geom.da, 0.0, 1023.0)
+        j_map = jnp.clip((geom.e[2] + t_base * rd[..., order[2]] - geom.b0)
+                         / geom.db, 0.0, 1023.0)
+        _, _, _, fits = warp_fit_starts(i_map, j_map, 1024, SIZE, SIZE)
+        return fits
 
     rows = [
-        ("gTcT-warpP", dict(use_gamma=True, use_clip=True, use_pallas=True)),
-        ("gFcF-warpP", dict(use_gamma=False, use_clip=False,
-                            use_pallas=True)),
         ("gTcT-warpG", dict(use_gamma=True, use_clip=True,
                             use_pallas=False)),
+        ("gFcF-warpP", dict(use_gamma=False, use_clip=False,
+                            use_pallas=True)),
+        ("gTcT-warpP", dict(use_gamma=True, use_clip=True, use_pallas=True)),
         ("gFcT-warpP", dict(use_gamma=False, use_clip=True, use_pallas=True)),
         ("gTcF-warpP", dict(use_gamma=True, use_clip=False, use_pallas=True)),
         ("gFcF-warpG", dict(use_gamma=False, use_clip=False,
@@ -110,6 +117,9 @@ def main():
             use_pallas=kw["use_pallas"], composite="pallas"))
         print(f"[flags] {label:12s} PSNR {psnr(img, oracle):6.2f} dB "
               f"({time.time() - t0:.0f}s)", flush=True)
+
+    print(f"[flags] warp fits at diagonal/1024: "
+          f"{bool(_probe_fits(b.pack()))}", flush=True)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ run() {  # run <timeout-sec> <name> <cmd...>
   echo "=== [$name] exit $? $(date -Is)" >> "$LOG"
 }
 
+run 1800 pose_check python scripts/tpu_pose_check.py
 run 2400 bench bash -c 'python bench.py > /root/repo/bench_out.json'
 run 1800 neural_march_k2 python scripts/bench_neural_march.py --pred-kstride 2 --frames 10 --batches 3
 run 1800 neural_march_k1 python scripts/bench_neural_march.py --pred-kstride 1 --frames 10 --batches 3
