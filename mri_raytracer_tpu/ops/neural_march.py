@@ -572,7 +572,15 @@ class NeuralBratsRenderer:
                                                    axis=dim + 1)
                     if seg_s is not None:
                         seg_s = jax.lax.slice_in_dim(seg_s, lo, hi, axis=dim)
-            self._prep[key] = (mixed_s, modsz_s, seg_s, crops, dims_perm)
+            # Device-resident crop scalars: Python ints re-upload every
+            # frame (tiny host->device transfers over the tunnel dominate
+            # interactive frame time — see render/brats.py).
+            (k_lo, _), (a_lo, _), (b_lo, _) = crops
+            devs = (jax.device_put(jnp.float32(k_lo)),
+                    (jax.device_put(jnp.float32(a_lo)),
+                     jax.device_put(jnp.float32(b_lo))))
+            self._prep[key] = (mixed_s, modsz_s, seg_s, crops, dims_perm,
+                               devs)
         return self._prep[key]
 
     def render(self, basis, p: BratsRenderParams) -> jnp.ndarray:
@@ -590,7 +598,8 @@ class NeuralBratsRenderer:
                                        self.width, self.height,
                                        out_res=self.sweep_res,
                                        pred_stride=self.stride)
-        mixed_s, modsz_s, seg_s, crops, dims_perm = self._prepare(axis, p)
+        mixed_s, modsz_s, seg_s, crops, dims_perm, devs = \
+            self._prepare(axis, p)
         (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
         nk, na_g, nb_g = dims_perm
         base_res = self.sweep_res or max(self.width, self.height)
@@ -604,11 +613,12 @@ class NeuralBratsRenderer:
         assert out_res % self.stride == 0, (out_res, self.stride)
         slab = (k_lo, k_hi) != (0, nk)
         _, use_gamma, use_clip = self._flags(p)
-        z_off = jnp.float32(k_lo) if slab else None
-        ab = (jnp.float32(a_lo), jnp.float32(b_lo)) \
-            if inplane_cropped else None
+        z_off = devs[0] if slab else None
+        ab = devs[1] if inplane_cropped else None
         ipg = (na_g, nb_g) if inplane_cropped else None
-        basis_vec = jnp.asarray(basis_vec)
+        # Plain jit-arg camera: arg transfers pipeline with execution; an
+        # explicit device_put blocks ~3.2 ms on the tunnel (see
+        # shearwarp.render_prepared).
         C = _render_neural_fused(
             mixed_s, modsz_s, seg_s, self.params, basis_vec, p,
             self.model, axis, self.width, self.height, out_res,

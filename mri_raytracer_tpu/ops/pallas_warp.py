@@ -38,10 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_I, TILE_J = 32, 32
 PIX = TILE_I * TILE_J  # pixels per tile (one kernel invocation)
-# Window sized for measured worst-case tile footprints at 1024^2/out_res
-# 1024 over an orbit (~118 x 98 incl. silhouette magnification + alignment
-# slack); extreme minification still falls back to the gather warp.
-WIN_I, WIN_J = 128, 256
+# Window sized for the measured worst-case tile footprint across the full
+# bench pose set at 1024^2: the exact DIAGONAL pose footprints 138 x 137
+# per 32 px tile (the shear intermediate is ~4x finer than the screen
+# there), which the old 128 x 256 window could not hold — the per-frame
+# lax.cond fell back to the gather warp at exactly the slowest pose
+# (~3.4 ms/frame slower, bench diagonal batches 71 vs 91 fps). 160 x 384
+# holds it with the 8/128 alignment slack (fit bound 151 x 255); the
+# extra window DMA costs ~0.4 ms spread over every pose, bought back
+# 8x over at near-diagonal poses. Extreme minification beyond this
+# still falls back to the gather warp.
+WIN_I, WIN_J = 160, 384
 
 
 def _make_warp_kernel(win_i: int, win_j: int, group: int, n_groups: int):

@@ -917,6 +917,10 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
     fused = (composite == "pallas" and supersample == 1
              and out_res % 128 == 0)
     if fused and use_pallas:
+        # The (13,) camera goes to both programs as a plain jit argument:
+        # the arg-transfer path is pipelined with execution, while an
+        # explicit jax.device_put measures a BLOCKING ~3.2 ms round-trip
+        # over the tunnel (scripts/diag_flags.py follow-up, r4).
         # Split pipeline: fused Pallas compositing and the Pallas warp must
         # live in SEPARATE jit programs (coexistence miscompile, see
         # _render_prepared_impl). Two async dispatches per frame; the

@@ -161,18 +161,27 @@ class BratsRenderer:
                 prep = self._prep_cache.get(blend_key)
                 if prep is None:
                     zeros = jnp.zeros((1, 1, 1), jnp.int32)
-                    prep = shearwarp.prepare_sweep_volumes(
+                    vols = shearwarp.prepare_sweep_volumes(
                         mods, seg if seg is not None else zeros,
                         pred if pred is not None else zeros, p_dev, axis,
                         seg is not None, pred is not None)
                     for dim, (lo, hi) in enumerate(crops):
                         if (lo, hi) != (0, dims_perm[dim]):
-                            prep = tuple(
+                            vols = tuple(
                                 None if v is None
                                 else jax.lax.slice_in_dim(v, lo, hi, axis=dim)
-                                for v in prep)
+                                for v in vols)
+                    # Crop offsets as DEVICE-RESIDENT scalars: passing
+                    # Python ints re-uploads them every frame (6 tiny
+                    # host->device transfers/frame over the tunnel
+                    # measured ~3.5 ms — a third of the frame budget).
+                    (k_lo, _), (a_lo, _), (b_lo, _) = crops
+                    devs = (jax.device_put(jnp.float32(k_lo)),
+                            (jax.device_put(jnp.float32(a_lo)),
+                             jax.device_put(jnp.float32(b_lo))))
+                    prep = (vols, devs)
                     self._prep_cache[blend_key] = prep
-                mixed_s, seg_s, pred_s = prep
+                (mixed_s, seg_s, pred_s), (z_dev, ab_dev) = prep
                 # Shrink the intermediate to the content footprint at the
                 # same samples-per-screen-pixel budget (the round-up to 128
                 # only ever RAISES the sampling density).
@@ -191,9 +200,9 @@ class BratsRenderer:
                     self.height, out_res, supersample=self.supersample,
                     use_gamma=use_gamma, use_clip=use_clip,
                     composite=composite,
-                    z_offset=k_lo if slab else None,
+                    z_offset=z_dev if slab else None,
                     nk_global=nk if slab else None,
-                    ab_offset=(a_lo, b_lo) if inplane_cropped else None,
+                    ab_offset=ab_dev if inplane_cropped else None,
                     inplane_global=(na_g, nb_g) if inplane_cropped else None)
         else:
             fn = raymarch_xla.render_brats

@@ -51,7 +51,9 @@ def test_warp_pallas_detects_oversized_footprint():
     # Minifying map: one 32-row tile spans ~4x its size in source rows,
     # exceeding the window allowance.
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    i_map = (yy * 3.9).astype(np.float32)
+    # One 32-row tile spans ~4.9x its size in source rows — beyond even the
+    # enlarged 160-row window's fit bound (win_i - 1 - slack = 151).
+    i_map = np.clip(yy * 4.9, 0, O - 1).astype(np.float32)
     j_map = (xx * 0.9).astype(np.float32)
     _, fits = warp_pallas(jnp.moveaxis(jnp.asarray(C), -1, 0),
                           jnp.asarray(i_map), jnp.asarray(j_map), H, W,
