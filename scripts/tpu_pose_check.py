@@ -74,7 +74,7 @@ def main():
         # Rebuild the renderer's exact crop/out_res decisions from its own
         # prep cache (key = (axis, crops, blend...)).
         cache_key = [k for k in r._prep_cache if k[0] == axis][0]
-        mixed_s, seg_s, pred_s = r._prep_cache[cache_key]
+        (mixed_s, seg_s, pred_s), (z_dev, ab_dev) = r._prep_cache[cache_key]
         crops = cache_key[1]
         order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
         dims_perm = [int(mods.shape[1 + o]) for o in order]
