@@ -36,6 +36,9 @@ def main(argv=None):
                     help="field plane stride (every K-th sweep plane, "
                     "nearest-upsampled in-kernel)")
     ap.add_argument("--write-doc", action="store_true")
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate plain/baked/neural batches per round "
+                    "(robust overhead subtraction on a drifting tunnel)")
     args = ap.parse_args(argv)
 
     import jax
@@ -102,10 +105,45 @@ def main(argv=None):
     r_neural = neural_march.NeuralBratsRenderer(
         disp, zsc, segj, model, params, width=S, height=S,
         pred_stride=args.pred_stride, pred_kstride=args.pred_kstride)
-    fps_plain = orbit_fps(lambda b: r_plain.render(b, p))
     p_np = p._replace(show_pred=np.float32(1.0))
-    fps_baked = orbit_fps(lambda b: r_baked.render(b, p_np))
-    fps_neural = orbit_fps(lambda b: r_neural.render(b, p_np))
+    if args.interleave:
+        # The tunnel's throughput drifts minute-to-minute (measured 55-82
+        # fps for the IDENTICAL plain config across runs), so sequential
+        # per-config phases corrupt the baked-vs-neural subtraction.
+        # Interleaving a batch of each config per round samples the same
+        # noise window; the overhead is the median of per-round diffs.
+        fns = [("plain", lambda b: r_plain.render(b, p)),
+               ("baked", lambda b: r_baked.render(b, p_np)),
+               ("neural", lambda b: r_neural.render(b, p_np))]
+        cams = {k: OrbitalCamera(radius=rp.default_camera_radius(p, V),
+                                 theta=0.6, phi=1.2) for k, _ in fns}
+        for k, fn in fns:  # warm every program
+            img = fn(cams[k].basis())
+            float(jnp.sum(img))
+        rounds = {k: [] for k, _ in fns}
+        for _ in range(max(5, args.batches)):
+            for k, fn in fns:
+                camx = cams[k]
+                t0 = time.perf_counter()
+                for _ in range(args.frames):
+                    camx.orbit(0.03, 0.01)
+                    img = fn(camx.basis())
+                float(jnp.sum(img))
+                rounds[k].append(args.frames / (time.perf_counter() - t0))
+        per_round_overhead = [1000.0 / n - 1000.0 / b for n, b in
+                              zip(rounds["neural"], rounds["baked"])]
+        print(f"[nm] per-round fps: "
+              + "; ".join(f"{k}={[round(x, 1) for x in v]}"
+                          for k, v in rounds.items()), file=sys.stderr)
+        print(f"[nm] per-round overhead ms: "
+              f"{[round(x, 2) for x in per_round_overhead]}", file=sys.stderr)
+        fps_plain = float(np.median(rounds["plain"]))
+        fps_baked = float(np.median(rounds["baked"]))
+        fps_neural = float(np.median(rounds["neural"]))
+    else:
+        fps_plain = orbit_fps(lambda b: r_plain.render(b, p))
+        fps_baked = orbit_fps(lambda b: r_baked.render(b, p_np))
+        fps_neural = orbit_fps(lambda b: r_neural.render(b, p_np))
     print(f"[nm] neural backend: {r_neural.backend}", file=sys.stderr)
 
     # Fast all-MXU voxel-grid re-bake (the amortized live-INR path): one
@@ -122,7 +160,12 @@ def main(argv=None):
 
     ms = {k: 1000.0 / v for k, v in
           {"plain": fps_plain, "baked": fps_baked, "neural": fps_neural}.items()}
-    overhead = ms["neural"] - ms["baked"]
+    if args.interleave:
+        # Median of same-round diffs: each round's baked/neural batches
+        # share a tunnel-noise window, unlike the across-phase medians.
+        overhead = float(np.median(per_round_overhead))
+    else:
+        overhead = ms["neural"] - ms["baked"]
     print(f"[nm] fps: plain={fps_plain:.1f} baked={fps_baked:.1f} "
           f"neural={fps_neural:.1f}; bake={bake_s:.2f}s", file=sys.stderr)
     print(f"[nm] in-march MLP overhead: {overhead:.2f} ms/frame "
