@@ -183,8 +183,18 @@ def pack_feature_rows(mixed: np.ndarray, feats: Dict[str, np.ndarray]) -> np.nda
 
 
 def _ray_setup(basis: CameraBasis, p: BratsRenderParams, dims,
-               width: int, height: int):
-    ro, rd = camera_rays(basis, width, height)
+               width: int, height: int, window=None):
+    """``window``: optional ((x0, y0) traced, (win_w, win_h) static) —
+    rays for a sub-rectangle of the ``width x height`` frame (foveated
+    inset), bit-identical to the same pixels of the full frame."""
+    if window is None:
+        ro, rd = camera_rays(basis, width, height)
+    else:
+        from mri_raytracer_tpu.render.camera import camera_rays_window
+
+        (x0, y0), (win_w, win_h) = window
+        ro, rd = camera_rays_window(basis, width, height, x0, y0,
+                                    win_w, win_h)
     rcp = 1.0 / _safe_dir(rd)
     bmin = p.vol_min
     bmax = p.vol_min + p.voxel_size * dims
@@ -281,14 +291,15 @@ def render_fixed(mixed: jnp.ndarray, basis_vec: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "n_coarse", "n_fine",
                                     "cfg", "roi_clamp", "probe_stride",
-                                    "block", "rho_upsample"))
+                                    "block", "rho_upsample", "window_size"))
 def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                   basis_vec: jnp.ndarray, p: BratsRenderParams,
                   width: int, height: int, n_coarse: int = 32,
                   n_fine: int = 64, cfg: PolicyConfig = PolicyConfig(),
                   roi_clamp: bool = True, probe_stride: int = 1,
                   block: Optional[int] = None, lod_vol=None,
-                  rho_upsample: int = 1,
+                  rho_upsample: int = 1, window_origin=None,
+                  window_size=None,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Policy-guided adaptive render. Returns (image, stats).
 
@@ -320,7 +331,14 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
 
     basis = unpack_basis(basis_vec)
     dims = jnp.array(mixed.shape[:3], jnp.float32)
-    ro, rd, t0, t1, valid, bmin = _ray_setup(basis, p, dims, width, height)
+    window = None if window_size is None \
+        else (window_origin, tuple(window_size))
+    ro, rd, t0, t1, valid, bmin = _ray_setup(basis, p, dims, width, height,
+                                             window=window)
+    # Output raster dims: the window's when rendering a foveated inset
+    # (``width``/``height`` keep defining the camera frustum).
+    h_out, w_out = (window_size[1], window_size[0]) \
+        if window_size is not None else (height, width)
 
     # ---- coarse probe: ONE 8-channel row-gather per sample, on a strided
     # pixel grid.
@@ -388,7 +406,7 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
         lod_ray = jnp.sum(w_rho * lod_off, -1)  # (h, w)
         if S > 1:
             lod_ray = jnp.repeat(jnp.repeat(lod_ray, S, 0), S,
-                                 1)[:height, :width]
+                                 1)[:h_out, :w_out]
         vox_m = jnp.mean(p.voxel_size)
 
         def _lam(dt_f):
@@ -436,12 +454,12 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                                           n_total=n_fine)  # (h, w, |blk|)
         if Su > 1:
             s_f = jnp.repeat(jnp.repeat(s_f, Su, axis=0), Su,
-                             axis=1)[:height, :width]
+                             axis=1)[:h_out, :w_out]
             ds_f = jnp.repeat(jnp.repeat(ds_f, Su, axis=0), Su,
-                              axis=1)[:height, :width]
+                              axis=1)[:h_out, :w_out]
         else:
-            s_f = s_f[:height, :width]
-            ds_f = ds_f[:height, :width]
+            s_f = s_f[:h_out, :w_out]
+            ds_f = ds_f[:h_out, :w_out]
         return t0[..., None] + s_f * span, ds_f * span
 
     if block is not None and block < n_fine:
@@ -464,8 +482,8 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
                 lam=_lam(dt_f) if lod_vol is not None else None)
             return (C + T[..., None] * Cb, T * Tb), None
 
-        C0 = jnp.zeros((height, width, 3), jnp.float32)
-        T0 = jnp.ones((height, width), jnp.float32)
+        C0 = jnp.zeros((h_out, w_out, 3), jnp.float32)
+        T0 = jnp.ones((h_out, w_out), jnp.float32)
         (C, T), _ = jax.lax.scan(bodyf, (C0, T0),
                                  jnp.arange(nb, dtype=jnp.float32))
     else:
@@ -489,6 +507,143 @@ def render_policy(policy, mixed: jnp.ndarray, feat_rows: jnp.ndarray,
              "mean_skip": jnp.mean(skip),
              "expected_steps": jnp.mean(jnp.sum(mass, -1) / p.step_size)}
     return C + p.bg_color[None, None, :] * T[..., None], stats
+
+
+# --------------------------------------------------------------- foveated mode
+def roi_world_corners(P_vol, B_vol, p: BratsRenderParams,
+                      thresh: float = 0.3) -> np.ndarray:
+    """Host-side, once per scene: world-space corner points (8, 3) of the
+    ROI bounding box (tumor probability or boundary proximity above
+    ``thresh``), padded by one voxel. Camera-independent — the foveated
+    renderer projects these per frame to place its full-resolution inset."""
+    m = (np.asarray(P_vol) > thresh) | (np.asarray(B_vol) > thresh)
+    dims = np.array(m.shape, np.float32)
+    if m.any():
+        idx = np.nonzero(m)
+        lo = np.array([i.min() for i in idx], np.float32) - 1.0
+        hi = np.array([i.max() for i in idx], np.float32) + 2.0
+    else:
+        lo = np.zeros(3, np.float32)
+        hi = dims
+    vmin = np.asarray(p.vol_min, np.float32)
+    vox = np.asarray(p.voxel_size, np.float32)
+    corners = np.array([[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+                        [lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+                        [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]],
+                        [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]]],
+                       np.float32)
+    return vmin[None, :] + vox[None, :] * corners
+
+
+def _project_to_pixels(basis: CameraBasis, pts: jnp.ndarray,
+                       width: int, height: int):
+    """World points (N, 3) -> pixel coordinates (N, 2) = (px, py), the
+    exact inverse of ``camera_rays``'s pinhole: a point projects to the
+    pixel whose ray passes through it."""
+    v = pts - basis.eye[None, :]
+    x = v @ basis.right
+    y = v @ basis.up
+    z = jnp.maximum(v @ basis.forward, 1e-3)  # behind-eye guard
+    f = 1.0 / jnp.tan(0.5 * basis.fov_y)
+    aspect = width / max(1.0, float(height))
+    u_ndc = (x / z) * f / aspect
+    v_ndc = -(y / z) * f
+    px = (u_ndc + 1.0) * 0.5 * width
+    py = (v_ndc + 1.0) * 0.5 * height
+    return px, py
+
+
+def foveation_rect(width: int, height: int, rect_frac: float = 0.5,
+                   probe_stride: int = 1) -> Tuple[int, int]:
+    """Static inset size: ``rect_frac`` of each frame axis, rounded to a
+    multiple of 2 x probe_stride (the probe grid and the half-res
+    background both need even alignment)."""
+    q = 2 * max(1, probe_stride)
+    rw = max(q, int(width * rect_frac) // q * q)
+    rh = max(q, int(height * rect_frac) // q * q)
+    return rw, rh
+
+
+def render_policy_foveated(policy, mixed: jnp.ndarray,
+                           feat_rows: jnp.ndarray, basis_vec: jnp.ndarray,
+                           p: BratsRenderParams, width: int, height: int,
+                           roi_corners: np.ndarray, n_coarse: int = 32,
+                           n_fine: int = 64, nf_bg: Optional[int] = None,
+                           cfg: PolicyConfig = PolicyConfig(),
+                           probe_stride: int = 1,
+                           block: Optional[int] = None, lod_vol=None,
+                           rho_upsample: int = 1, rect_frac: float = 0.5,
+                           feather: int = 16,
+                           ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Foveated policy render: the full frame at HALF resolution (bilinear
+    upsample) plus the projected-ROI rectangle at FULL resolution,
+    feather-blended over the upsample.
+
+    This is the screen-space half of the methodology's LOD knob
+    (Methodology-ROI:43 'level-of-detail selection'): per-ray sample
+    redistribution cannot beat ~1/occupancy on DENSE scenes (a tumor case
+    fills the head; measured ceiling 0.98-1.2x, docs/ROI_RESULTS.md), but
+    the ROI occupies a small screen fraction, so spending full-resolution
+    rays only there wins ~(1/4 + rect_frac^2)^-1 on ray count while ROI
+    pixels stay bit-identical to the full-resolution policy render
+    (window rays reuse the full-frame pinhole math exactly).
+
+    ``roi_corners``: (8, 3) world ROI bbox corners from
+    ``roi_world_corners`` (host, per scene). ``nf_bg``: background fine
+    budget (default = ``n_fine``).
+    """
+    from mri_raytracer_tpu.render.camera import unpack_basis
+
+    basis = unpack_basis(basis_vec)
+    rw, rh = foveation_rect(width, height, rect_frac, probe_stride)
+    # Inset origin: projected-ROI bbox center, clamped inside the frame and
+    # even-aligned (the background is half-res, so odd origins would split
+    # background pixels at the seam).
+    px, py = _project_to_pixels(basis, jnp.asarray(roi_corners, jnp.float32),
+                                width, height)
+    cx = 0.5 * (jnp.min(px) + jnp.max(px))
+    cy = 0.5 * (jnp.min(py) + jnp.max(py))
+    x0 = jnp.clip(jnp.round(cx - 0.5 * rw), 0, width - rw)
+    y0 = jnp.clip(jnp.round(cy - 0.5 * rh), 0, height - rh)
+    x0 = (x0.astype(jnp.int32) // 2) * 2
+    y0 = (y0.astype(jnp.int32) // 2) * 2
+
+    # Background: the full frame at half resolution, same frustum. The
+    # probe stride halves so world-space probe density matches the inset's.
+    bg_stride = max(1, probe_stride // 2)
+    img_bg, st_bg = render_policy(
+        policy, mixed, feat_rows, basis_vec, p, width // 2, height // 2,
+        n_coarse, nf_bg or n_fine, cfg, probe_stride=bg_stride,
+        block=block, lod_vol=lod_vol,
+        rho_upsample=min(rho_upsample, bg_stride) if bg_stride > 1 else 1)
+    bg = jax.image.resize(img_bg, (height, width, 3), method="linear")
+
+    # Inset: full-resolution rays for the ROI rect only.
+    img_roi, st_roi = render_policy(
+        policy, mixed, feat_rows, basis_vec, p, width, height,
+        n_coarse, n_fine, cfg, probe_stride=probe_stride, block=block,
+        lod_vol=lod_vol, rho_upsample=rho_upsample,
+        window_origin=(x0.astype(jnp.float32), y0.astype(jnp.float32)),
+        window_size=(rw, rh))
+
+    # Feathered paste (static mask; the ramp hides the resolution seam).
+    fy = jnp.minimum(jnp.arange(rh, dtype=jnp.float32),
+                     jnp.arange(rh - 1, -1, -1, dtype=jnp.float32))
+    fx = jnp.minimum(jnp.arange(rw, dtype=jnp.float32),
+                     jnp.arange(rw - 1, -1, -1, dtype=jnp.float32))
+    m = jnp.clip(jnp.minimum(fy[:, None], fx[None, :]) / max(1, feather),
+                 0.0, 1.0)[..., None]
+    patch = jax.lax.dynamic_slice(bg, (y0, x0, 0), (rh, rw, 3))
+    out = jax.lax.dynamic_update_slice(bg, patch + m * (img_roi - patch),
+                                       (y0, x0, 0))
+    stats = {"steps_per_ray":
+             0.25 * st_bg["steps_per_ray"]
+             + (rw * rh) / (width * height) * st_roi["steps_per_ray"],
+             "mean_scale": st_roi["mean_scale"],
+             "mean_skip": st_bg["mean_skip"],
+             "expected_steps": st_bg["expected_steps"],
+             "rect": (x0, y0, rw, rh)}
+    return out, stats
 
 
 # ------------------------------------------------------------------- training

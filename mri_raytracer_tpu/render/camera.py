@@ -162,18 +162,39 @@ def camera_rays(basis: CameraBasis, width: int, height: int) -> Tuple[jnp.ndarra
     """
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    u = xs * 2.0 - 1.0  # (W,)
-    v = ys * 2.0 - 1.0  # (H,)
+    return _rays_from_ndc(basis, xs, ys, width, height)
+
+
+def camera_rays_window(basis: CameraBasis, width: int, height: int,
+                       x0, y0, win_w: int, win_h: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primary rays for the pixel window [y0:y0+win_h, x0:x0+win_w] of a
+    ``width x height`` image — identical per-pixel math to ``camera_rays``
+    (a window ray equals the full-frame ray of the same pixel bit-exactly,
+    so a foveated inset composites seamlessly). ``x0``/``y0`` may be traced
+    scalars; the window SIZE is static."""
+    x0 = jnp.asarray(x0, jnp.float32)
+    y0 = jnp.asarray(y0, jnp.float32)
+    xs = (x0 + jnp.arange(win_w, dtype=jnp.float32) + 0.5) / width
+    ys = (y0 + jnp.arange(win_h, dtype=jnp.float32) + 0.5) / height
+    return _rays_from_ndc(basis, xs, ys, width, height)
+
+
+def _rays_from_ndc(basis: CameraBasis, xs: jnp.ndarray, ys: jnp.ndarray,
+                   width: int, height: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    h, w = ys.shape[0], xs.shape[0]
+    u = xs * 2.0 - 1.0  # (w,)
+    v = ys * 2.0 - 1.0  # (h,)
     f = 1.0 / jnp.tan(0.5 * basis.fov_y)
     aspect = width / max(1.0, float(height))
-    cx = (u * aspect / f)[None, :]  # (1, W)
-    cy = (-v / f)[:, None]  # (H, 1)
-    cz = jnp.ones((height, width), jnp.float32)
-    cam = jnp.stack([jnp.broadcast_to(cx, (height, width)),
-                     jnp.broadcast_to(cy, (height, width)), cz], axis=-1)
+    cx = (u * aspect / f)[None, :]  # (1, w)
+    cy = (-v / f)[:, None]  # (h, 1)
+    cz = jnp.ones((h, w), jnp.float32)
+    cam = jnp.stack([jnp.broadcast_to(cx, (h, w)),
+                     jnp.broadcast_to(cy, (h, w)), cz], axis=-1)
     cam = cam / jnp.linalg.norm(cam, axis=-1, keepdims=True)
     d = (cam[..., 0:1] * basis.right + cam[..., 1:2] * basis.up
          + cam[..., 2:3] * basis.forward)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(basis.eye, (height, width, 3))
+    o = jnp.broadcast_to(basis.eye, (h, w, 3))
     return o, d

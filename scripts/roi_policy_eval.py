@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sitecustomize forces the "
                     "TPU platform, so an env var alone is not enough)")
+    ap.add_argument("--no-foveated", action="store_true",
+                    help="skip the foveated operating points (full-res ROI "
+                    "inset + half-res background)")
     ap.add_argument("--policy-in", default=None,
                     help="skip training: load this policy npz (+ its _lod "
                     "sibling if present) — resume support for flaky "
@@ -174,7 +177,7 @@ def main(argv=None):
             pol, sc, vs, budgets, width=args.width, height=args.height,
             ref_steps=args.ref_steps, n_frames=args.timing_frames,
             n_coarse=args.n_coarse, probe_stride=stride, block=args.block,
-            ref_cache=args.ref_cache)
+            ref_cache=args.ref_cache, foveated=not args.no_foveated)
         results["scenes"][sc["name"]] = sweep
         v = roi_protocol.evaluate_success(sweep,
                                           tuned_budget=args.tuned_budget)
@@ -197,14 +200,15 @@ def main(argv=None):
             height=args.height, ref_steps=args.ref_steps,
             n_frames=args.timing_frames, n_coarse=args.n_coarse,
             probe_stride=stride, block=args.block,
-            ref_cache=args.ref_cache)
+            ref_cache=args.ref_cache, foveated=not args.no_foveated)
         results["scenes"][sc["name"] + "-heldout"] = sweep_h
         # Held-out view quality target (showcase-plan:49: <= 0.7 dB extra
         # loss): policy wPSNR delta standard-orbit -> held-out-orbit at the
-        # policy operating point.
+        # policy operating point (same renderer kind: plain or foveated).
         if v.get("policy_n") is not None:
-            q_std = next(q for q in sweep["policy"] if q["n"] == v["policy_n"])
-            q_ho = next(q for q in sweep_h["policy"]
+            kind = v.get("policy_kind", "policy")
+            q_std = next(q for q in sweep[kind] if q["n"] == v["policy_n"])
+            q_ho = next(q for q in sweep_h[kind]
                         if q["n"] == v["policy_n"])
             v["heldout_extra_loss_db"] = round(q_std["wpsnr"]
                                                - q_ho["wpsnr"], 3)

@@ -323,3 +323,69 @@ def test_lod_blend(scene):
     img1, _ = roi_policy.render_policy(pol_on, *_st(scene), bv, p, 48, 48,
                                        12, 24, lod_vol=mip)
     assert float(np.abs(np.asarray(img1) - np.asarray(base)).max()) > 1e-3
+
+
+def test_window_rays_match_full_frame(scene):
+    """A window render must reproduce the same pixels of the full-frame
+    render bit-exactly (the foveated inset's seamlessness guarantee)."""
+    bv = _basis(scene)
+    n = 32
+    full, _ = roi_policy.render_policy(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        n_coarse=16, n_fine=n, cfg=CFG, roi_clamp=False)
+    win, _ = roi_policy.render_policy(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        n_coarse=16, n_fine=n, cfg=CFG, roi_clamp=False,
+        window_origin=(jnp.float32(16.0), jnp.float32(8.0)),
+        window_size=(32, 24))
+    np.testing.assert_allclose(np.asarray(win),
+                               np.asarray(full)[8:32, 16:48],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_foveated_roi_pixels_match_full_res(scene):
+    """Foveated render: pixels inside the inset (feather interior) must
+    match the full-resolution policy render; the background must stay
+    close to it (half-res upsample of smooth content)."""
+    bv = _basis(scene)
+    n = 48
+    corners = roi_policy.roi_world_corners(scene["P"], scene["B"],
+                                           scene["params"])
+    full, _ = roi_policy.render_policy(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        n_coarse=16, n_fine=n, cfg=CFG, roi_clamp=False)
+    fov, stats = roi_policy.render_policy_foveated(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        corners, n_coarse=16, n_fine=n, cfg=CFG, rect_frac=0.5, feather=4)
+    x0, y0, rw, rh = (int(stats["rect"][0]), int(stats["rect"][1]),
+                      stats["rect"][2], stats["rect"][3])
+    inner = np.asarray(fov)[y0 + 4:y0 + rh - 4, x0 + 4:x0 + rw - 4]
+    ref_in = np.asarray(full)[y0 + 4:y0 + rh - 4, x0 + 4:x0 + rw - 4]
+    np.testing.assert_allclose(inner, ref_in, rtol=1e-4, atol=2e-4)
+    # Whole-frame quality: the half-res background of a smooth scene stays
+    # within a few dB of full-res; the ROI is exact.
+    mse = float(np.mean((np.asarray(fov) - np.asarray(full)) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, psnr
+    # The inset tracks the ROI: projected tumor center must fall inside.
+    from mri_raytracer_tpu.render.camera import unpack_basis
+    px, py = roi_policy._project_to_pixels(
+        unpack_basis(bv), jnp.asarray(corners), 64, 64)
+    cx = float(0.5 * (px.min() + px.max()))
+    cy = float(0.5 * (py.min() + py.max()))
+    assert x0 <= cx <= x0 + rw and y0 <= cy <= y0 + rh
+
+
+def test_protocol_sweep_foveated_kind(scene):
+    """pareto_sweep(foveated=True) measures the policy_fov series and the
+    success rule may pick a foveated operating point (kind is recorded)."""
+    pol = _constant_policy()
+    views = roi_protocol.make_views(scene["radius"])[:1]
+    sweep = roi_protocol.pareto_sweep(
+        pol, scene, views, budgets=[16, 48], width=48, height=48,
+        ref_steps=128, n_frames=2, n_coarse=12, foveated=True)
+    assert len(sweep["policy_fov"]) == 2
+    for q in sweep["policy_fov"]:
+        assert np.isfinite(q["wpsnr"]) and q["ms"] > 0.0
+    verdict = roi_protocol.evaluate_success(sweep)
+    assert verdict.get("policy_kind") in ("policy", "policy_fov", None)
