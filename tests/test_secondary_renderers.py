@@ -162,3 +162,53 @@ def test_u8_volume_roundtrip(tmp_path):
         f.write(disk)
     out = codecs.load_u8_volume(p, (2, 3, 4))
     np.testing.assert_array_equal(out, vol)
+
+
+# ------------------------------------------------------- 2-D noise demo (R5)
+def test_simplex_noise_range_and_smoothness():
+    """Ashima 2-D simplex noise: zero at lattice corners' gradient centers,
+    bounded in [-1, 1], continuous (neighboring samples close), and
+    non-degenerate (actual variation across the field)."""
+    from mri_raytracer_tpu.ops import noise2d
+
+    xs = jnp.linspace(-3.0, 3.0, 97)
+    g = jnp.stack(jnp.meshgrid(xs, xs, indexing="ij"), -1)
+    n = np.asarray(noise2d.snoise(g))
+    assert np.isfinite(n).all()
+    assert n.min() >= -1.0 - 1e-4 and n.max() <= 1.0 + 1e-4
+    assert n.std() > 0.1  # non-degenerate
+    # Continuity: max step between neighboring samples bounded by the
+    # gradient bound times the spacing (loose factor).
+    d = max(np.abs(np.diff(n, axis=0)).max(), np.abs(np.diff(n, axis=1)).max())
+    assert d < 0.6, d
+    n01 = np.asarray(noise2d.snoise01(g))
+    np.testing.assert_allclose(n01, n * 0.5 + 0.5, atol=1e-6)
+
+
+def test_noise_demo_frame_and_animation():
+    from mri_raytracer_tpu.ops import noise2d
+
+    f0 = np.asarray(noise2d.render_noise_demo(64, 48, time=0.0))
+    f1 = np.asarray(noise2d.render_noise_demo(64, 48, time=0.5))
+    assert f0.shape == (48, 64, 3)
+    assert np.isfinite(f0).all()
+    assert np.abs(f1 - f0).max() > 0.05  # the demo animates
+    # Grayscale base (r == g == b without the pointer highlight).
+    np.testing.assert_allclose(f0[..., 0], f0[..., 1], atol=1e-6)
+    # The pointer highlight adds red only, centered at the mouse.
+    fm = np.asarray(noise2d.render_noise_demo(
+        64, 48, time=0.0, mouse_pos=jnp.asarray([32.0, 24.0]),
+        mouse_radius=10.0))
+    dr = fm[..., 0] - f0[..., 0]
+    np.testing.assert_allclose(fm[..., 1:], f0[..., 1:], atol=1e-6)
+    assert dr[24, 32] > 0.9  # full-strength at the pointer
+    assert dr[0, 0] < 1e-6  # zero beyond the radius
+
+
+def test_noise_app(tmp_path):
+    from mri_raytracer_tpu.apps import noise_app
+
+    rc = noise_app.main(["--width", "48", "--height", "32", "--frames", "2",
+                         "--mouse", "24,16", "--out", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "frame_0001.png").exists()
