@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Drift-proof re-timing of the ROI protocol verdict operating points.
+
+The protocol sweep (scripts/roi_policy_eval.py) times the tuned baseline
+and the policy operating point in back-to-back but *sequential* phases;
+over the axon tunnel the identical configuration drifts several percent
+between phases (docs/RESULTS_r4.md, "interleaved methodology"), which is
+larger than a 1.79x-vs-1.80x verdict margin. This tool re-times ONLY the
+two points named by each scene's verdict with interleaved A/B batches —
+baseline and policy alternate inside every measurement round, so each
+speedup sample shares one drift window — and updates the verdict with
+the interleaved median speedup + bootstrap CI (quality numbers are left
+untouched: they are deterministic renders, not measurements).
+
+Protocol anchor: /root/reference docs/showcase-plan.md:41-46 (median over
+>= 30 frames, 95% CI for ms/frame); the interleaving is our measurement
+hardening for the tunnel, recorded per-verdict as
+``timing_method: interleaved``.
+"""
+import argparse
+import json
+import pathlib as _pl
+import sys
+import time
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", default=None,
+                    help="protocol JSON to update (default: "
+                    "docs/roi_results.json, or _hard for --suite "
+                    "adversarial)")
+    ap.add_argument("--suite", default="showcase",
+                    choices=["showcase", "adversarial"])
+    ap.add_argument("--scenes", default=None,
+                    help="comma list; default = every scene whose verdict "
+                    "has an operating point")
+    ap.add_argument("--shape", default="96,96,80")
+    ap.add_argument("--rounds", type=int, default=20,
+                    help="interleaved A/B rounds (3 frames per side each)")
+    ap.add_argument("--n-coarse", type=int, default=48)
+    ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--policy-in", default=None,
+                    help="default: roi_policy.npz next to the results file")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="measure and print, but do not rewrite the "
+                    "JSON/markdown artifacts")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_raytracer_tpu.eval import roi_protocol
+    from mri_raytracer_tpu.ops import roi_policy
+
+    suffix = "_hard" if args.suite == "adversarial" else ""
+    docs = _pl.Path(__file__).resolve().parents[1] / "docs"
+    results_f = _pl.Path(args.results or docs / f"roi_results{suffix}.json")
+    results = json.loads(results_f.read_text())
+    verdicts = results.get("verdicts", [])
+    if not verdicts:
+        print("[retime] no verdicts in", results_f, file=sys.stderr)
+        return 1
+    pol_f = _pl.Path(args.policy_in or results_f.parent / "roi_policy.npz")
+    pol = roi_policy.load_policy(pol_f)
+    shape = tuple(int(x) for x in args.shape.split(","))
+    scenes = {s["name"]: s
+              for s in roi_protocol.build_scenes(shape, suite=args.suite)}
+    want = (set(args.scenes.split(",")) if args.scenes
+            else {v["scene"] for v in verdicts
+                  if v.get("policy_n") is not None})
+
+    def timed_pair(fa, fb, rounds):
+        """Interleaved per-round (baseline_ms, policy_ms) samples: 3 frames
+        of A then 3 of B per round, one scalar-readback sync per batch, so
+        every a_i/b_i ratio shares a single tunnel-drift window."""
+        float(jnp.sum(fa()))  # warm + compile
+        float(jnp.sum(fb()))
+        pairs = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fa()
+            float(jnp.sum(out))
+            t1 = time.perf_counter()
+            for _ in range(3):
+                out = fb()
+            float(jnp.sum(out))
+            t2 = time.perf_counter()
+            pairs.append((1e3 * (t1 - t0) / 3, 1e3 * (t2 - t1) / 3))
+        return pairs
+
+    changed = False
+    for v in verdicts:
+        name = v["scene"]
+        if name not in want or v.get("policy_n") is None:
+            continue
+        sc = scenes.get(name)
+        if sc is None:
+            print(f"[retime] scene {name} not in suite {args.suite}; skip")
+            continue
+        sweep = results["scenes"][name]
+        w, h = sweep["width"], sweep["height"]
+        stride = sweep.get("probe_stride", 1)
+        ru = sweep.get("rho_upsample")
+        p = sc["params"]
+        st = roi_protocol.scene_tuple(sc)
+        mixed = st[0]
+        bv0 = jnp.asarray(roi_protocol.make_orbit_views(
+            sc["radius"], sweep.get("quality_frames", 30))[0])
+        kind = v.get("policy_kind", "policy")
+        n_b, n_p = v["tuned_n"], v["policy_n"]
+
+        def f_base():
+            return roi_policy.render_fixed(mixed, bv0, p, w, h, n_b,
+                                           block=args.block)[0]
+
+        if kind == "policy_fov":
+            corners = roi_policy.roi_world_corners(sc["P"], sc["B"], p)
+
+            def f_pol():
+                return roi_policy.render_policy_foveated(
+                    pol, *st, bv0, p, w, h, corners, args.n_coarse, n_p,
+                    probe_stride=stride, block=args.block,
+                    rho_upsample=ru)[0]
+        else:
+            def f_pol():
+                return roi_policy.render_policy(
+                    pol, *st, bv0, p, w, h, args.n_coarse, n_p,
+                    roi_policy.PolicyConfig(), probe_stride=stride,
+                    block=args.block, rho_upsample=ru)[0]
+
+        pairs = timed_pair(f_base, f_pol, args.rounds)
+        a = np.array([x for x, _ in pairs])
+        b = np.array([y for _, y in pairs])
+        s = a / b
+        sp = roi_protocol.median_ci(list(s))
+        old = v["speedup"]
+        v["speedup_sequential"] = old
+        v["speedup"] = sp["median"]
+        v["speedup_ci"] = sp["ci95"]
+        v["tuned_ms"] = float(np.median(a))
+        v["policy_ms"] = float(np.median(b))
+        v["timing_method"] = (f"interleaved A/B, {args.rounds} rounds x "
+                              f"3+3 frames")
+        v["success"] = bool(sp["median"] >= 1.8)
+        changed = True
+        print(f"[retime] {name} ({kind} n={n_p} vs B1 n={n_b}): "
+              f"{old:.4f}x (sequential) -> {sp['median']:.4f}x "
+              f"[{sp['ci95'][0]:.4f}, {sp['ci95'][1]:.4f}] interleaved; "
+              f"base {np.median(a):.1f} ms, policy {np.median(b):.1f} ms, "
+              f"success={v['success']}")
+
+    if not changed:
+        print("[retime] nothing re-timed")
+        return 0
+    n_ok = sum(bool(v["success"]) for v in verdicts
+               if v.get("counts_toward_bar"))
+    results["verdicts"] = verdicts
+    results["success_bar"] = {
+        "target": ">=1.8x at <=0.5 dB on >=3/4 scenes",
+        "scenes_passing": n_ok, "overall": n_ok >= 3}
+    print(f"[retime] OVERALL: {n_ok}/4 scenes pass the 1.8x bar -> "
+          f"{'SUCCESS' if n_ok >= 3 else 'FAIL'}")
+    if args.dry_run:
+        return 0
+    results_f.write_text(json.dumps(results, indent=1))
+    md = results_f.parent / ("ROI_RESULTS_hard.md" if suffix
+                             else "ROI_RESULTS.md")
+    roi_protocol.write_report(results, md, suite=args.suite)
+    print(f"[retime] updated {results_f} and {md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
