@@ -51,7 +51,11 @@ def main(argv=None) -> int:
                                 noise_scale=args.noise_scale,
                                 noise_amount=args.noise_amount)
         arr = np.clip(np.asarray(img), 0.0, 1.0)
-        u8 = (arr * 255).astype(np.uint8)
+        # sRGB encode before the 8-bit write, like the reference's F2 path
+        # (test.py:70-75 converts with srgb_gamma=True).
+        srgb = np.where(arr <= 0.0031308, arr * 12.92,
+                        1.055 * np.power(arr, 1.0 / 2.4) - 0.055)
+        u8 = (srgb * 255).astype(np.uint8)
         Image.fromarray(u8).save(out / f"frame_{i:04d}.png")
         frames.append(u8)
     if args.gif:

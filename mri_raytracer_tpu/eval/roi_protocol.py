@@ -465,7 +465,9 @@ def pareto_sweep(policy, scene, views: Sequence[np.ndarray],
     out = {"budgets": list(budgets),
            "ref_steps": ref_steps, "width": width, "height": height,
            "quality_frames": len(views), "timing_frames": n_frames,
-           "probe_stride": probe_stride, "rho_upsample": ru}
+           "probe_stride": probe_stride, "rho_upsample": ru,
+           # Renderer config a re-timing tool must reproduce exactly.
+           "n_coarse": n_coarse, "block": block}
     for kind in kinds:
         out[kind] = []
     for n in budgets:

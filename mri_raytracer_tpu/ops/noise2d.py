@@ -86,8 +86,9 @@ def render_noise_demo(width: int, height: int, time,
     """One frame of the animated demo -> (H, W, 3) float32 in [0, ~1].
 
     Matches ``draw.slang:104-125``: uv = pixel / width (x-normalized),
-    advected by ``time * 0.1``; both uv components warped by simplex
-    noise (the y-warp reads at a (13, 17) offset); 0.2-period tiled SDF
+    advected by ``time * 0.1``; uv.x warped by simplex noise, then uv.y
+    warped by a second read at the x-warped uv plus a (13, 17) offset;
+    0.2-period tiled SDF
     circles of radius 0.25 shaded by smoothstep(0.2, -0.2, d); a red
     highlight of ``mouse_radius`` pixels around ``mouse_pos`` (the
     pointer-interaction analog — pass None for no pointer)."""
@@ -98,9 +99,12 @@ def render_noise_demo(width: int, height: int, time,
                     jnp.broadcast_to(py, (height, width))],
                    axis=-1) / float(width)
     uv = uv + t * 0.1
+    # Sequential warp, matching draw.slang:117-118: uv.x shifts first and
+    # the y-warp noise is read at the already-x-warped position.
     wx = snoise(uv * noise_scale) * noise_amount
+    uv = jnp.stack([uv[..., 0] + wx, uv[..., 1]], axis=-1)
     wy = snoise((uv + jnp.array([13.0, 17.0])) * noise_scale) * noise_amount
-    uv = uv + jnp.stack([wx, wy], axis=-1)
+    uv = jnp.stack([uv[..., 0], uv[..., 1] + wy], axis=-1)
     p = _repeat(uv, 0.2)
     d = jnp.sqrt(jnp.sum(p * p, -1)) - 0.25
     s = jnp.clip((d - 0.2) / (-0.2 - 0.2), 0.0, 1.0)

@@ -564,10 +564,14 @@ def foveation_rect(width: int, height: int, rect_frac: float = 0.5,
     return rw, rh
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "n_coarse", "n_fine",
+                                    "nf_bg", "cfg", "probe_stride", "block",
+                                    "rho_upsample", "rect_frac", "feather"))
 def render_policy_foveated(policy, mixed: jnp.ndarray,
                            feat_rows: jnp.ndarray, basis_vec: jnp.ndarray,
                            p: BratsRenderParams, width: int, height: int,
-                           roi_corners: np.ndarray, n_coarse: int = 32,
+                           roi_corners, n_coarse: int = 32,
                            n_fine: int = 64, nf_bg: Optional[int] = None,
                            cfg: PolicyConfig = PolicyConfig(),
                            probe_stride: int = 1,
@@ -586,27 +590,38 @@ def render_policy_foveated(policy, mixed: jnp.ndarray,
     the ROI occupies a small screen fraction, so spending full-resolution
     rays only there wins ~(1/4 + rect_frac^2)^-1 on ray count while ROI
     pixels stay bit-identical to the full-resolution policy render
-    (window rays reuse the full-frame pinhole math exactly).
+    (window rays reuse the full-frame pinhole math exactly, and the inset
+    origin is probe_stride-aligned so the shared probe grid and policy
+    decisions land on the same blocks as the full-frame render).
 
     ``roi_corners``: (8, 3) world ROI bbox corners from
-    ``roi_world_corners`` (host, per scene). ``nf_bg``: background fine
-    budget (default = ``n_fine``).
+    ``roi_world_corners`` (host, per scene; rides as a jit argument so
+    per-frame calls pipeline instead of paying a blocking upload).
+
+    The whole function is ONE jit program (background + inset + blend):
+    the glue (projection, feather mask, resize, paste) otherwise runs
+    eagerly — dozens of per-frame dispatches and small transfers that the
+    tunnel prices at milliseconds, inside the protocol's timed path.
+    ``nf_bg``: background fine budget (default = ``n_fine``).
     """
     from mri_raytracer_tpu.render.camera import unpack_basis
 
     basis = unpack_basis(basis_vec)
     rw, rh = foveation_rect(width, height, rect_frac, probe_stride)
     # Inset origin: projected-ROI bbox center, clamped inside the frame and
-    # even-aligned (the background is half-res, so odd origins would split
-    # background pixels at the seam).
+    # aligned to max(2, probe_stride) — 2 because the half-res background
+    # would split pixels at the seam, probe_stride because the inset's
+    # probe/decision grid must coincide with the full-frame render's
+    # raster-anchored grid for the bit-exactness guarantee above.
+    q = max(2, probe_stride)
     px, py = _project_to_pixels(basis, jnp.asarray(roi_corners, jnp.float32),
                                 width, height)
     cx = 0.5 * (jnp.min(px) + jnp.max(px))
     cy = 0.5 * (jnp.min(py) + jnp.max(py))
     x0 = jnp.clip(jnp.round(cx - 0.5 * rw), 0, width - rw)
     y0 = jnp.clip(jnp.round(cy - 0.5 * rh), 0, height - rh)
-    x0 = (x0.astype(jnp.int32) // 2) * 2
-    y0 = (y0.astype(jnp.int32) // 2) * 2
+    x0 = (x0.astype(jnp.int32) // q) * q
+    y0 = (y0.astype(jnp.int32) // q) * q
 
     # Background: the full frame at half resolution, same frustum. The
     # probe stride halves so world-space probe density matches the inset's.

@@ -821,7 +821,8 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                           height, out_res, supersample, use_gamma, use_clip,
                           use_pallas, composite, z_offset=None,
                           nk_global=None, ab_offset=None,
-                          inplane_global=None, warp=True):
+                          inplane_global=None, warp=True,
+                          _unsafe_coexist=False):
     basis = unpack_basis(basis_vec)
     geom = content_geometry(basis, p, mixed_s.shape, axis, out_res, width,
                             height, z_offset, nk_global, ab_offset,
@@ -840,7 +841,11 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
         # Mosaic coexistence class as the two-stream DMA corruption
         # (pallas_composite._make_kernel). Callers that want the fast warp
         # split the pipeline at this boundary (render_prepared).
-        use_pallas = False
+        # ``_unsafe_coexist=True`` keeps the requested warp anyway — ONLY
+        # for forensics that deliberately reproduce the miscompile
+        # (scripts/diag_flags.py); never production.
+        if not _unsafe_coexist:
+            use_pallas = False
     else:
         # Per-plane scan with unroll: smaller live intermediates than the
         # slab-batched einsum variant (slab kept for reference/tests).
@@ -858,18 +863,21 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                                     "supersample", "has_seg", "has_pred",
                                     "use_gamma", "use_clip", "use_pallas",
                                     "composite", "nk_global",
-                                    "inplane_global", "warp"))
+                                    "inplane_global", "warp",
+                                    "_unsafe_coexist"))
 def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                      height, out_res, supersample, has_seg, has_pred,
                      use_gamma=True, use_clip=True, use_pallas=False,
                      composite="scan", z_offset=None, nk_global=None,
-                     ab_offset=None, inplane_global=None, warp=True):
+                     ab_offset=None, inplane_global=None, warp=True,
+                     _unsafe_coexist=False):
     return _render_prepared_impl(mixed_s, seg_s if has_seg else None,
                                  pred_s if has_pred else None, basis_vec, p,
                                  axis, width, height, out_res, supersample,
                                  use_gamma, use_clip, use_pallas, composite,
                                  z_offset, nk_global, ab_offset,
-                                 inplane_global, warp=warp)
+                                 inplane_global, warp=warp,
+                                 _unsafe_coexist=_unsafe_coexist)
 
 
 @functools.partial(jax.jit,

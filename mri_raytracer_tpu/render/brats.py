@@ -116,7 +116,7 @@ class BratsRenderer:
 
     def _build(self) -> None:
         self._p_cache = (None, None, None, None)
-        self._prep_cache = {}  # (axis, blend_key) -> (mixed_s, seg_s, pred_s)
+        self._prep_cache = {}  # (axis, blend_key) -> (volumes, device-scalars)
         if self.backend in ("sweep", "sweep_pallas"):
             from mri_raytracer_tpu.ops import shearwarp
 

@@ -110,11 +110,15 @@ def main():
     ]
     for label, kw in rows:
         t0 = time.time()
+        # _unsafe_coexist bypasses the production safety invariant (the
+        # combined program force-selects the gather warp); the warpP rows
+        # deliberately reproduce the Mosaic coexistence miscompile.
         img = np.asarray(sw._render_prepared(
             mixed_s, seg_s, jnp.zeros((1, 1, 1), jnp.int32), b.pack(), p,
             axis, SIZE, SIZE, 1024, 1, True, False,
             use_gamma=kw["use_gamma"], use_clip=kw["use_clip"],
-            use_pallas=kw["use_pallas"], composite="pallas"))
+            use_pallas=kw["use_pallas"], composite="pallas",
+            _unsafe_coexist=kw["use_pallas"]))
         print(f"[flags] {label:12s} PSNR {psnr(img, oracle):6.2f} dB "
               f"({time.time() - t0:.0f}s)", flush=True)
 

@@ -44,6 +44,12 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=32)
     ap.add_argument("--policy-in", default=None,
                     help="default: roi_policy.npz next to the results file")
+    ap.add_argument("--requality", action="store_true",
+                    help="also re-render the policy operating point over "
+                    "the quality frames and refresh its wpsnr/ssim vs the "
+                    "cached references (use after a renderer change that "
+                    "can move pixels, e.g. the probe-grid alignment fix)")
+    ap.add_argument("--ref-cache", default="/tmp/roi_refs")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure and print, but do not rewrite the "
                     "JSON/markdown artifacts")
@@ -115,32 +121,44 @@ def main(argv=None):
         w, h = sweep["width"], sweep["height"]
         stride = sweep.get("probe_stride", 1)
         ru = sweep.get("rho_upsample")
+        # Reproduce the sweep's renderer config exactly; older sweeps did
+        # not record n_coarse/block, in which case the CLI values are used
+        # (they default to roi_policy_eval's defaults) with a warning.
+        n_coarse = sweep.get("n_coarse")
+        blk = sweep.get("block")
+        if n_coarse is None or blk is None:
+            print(f"[retime] {name}: sweep predates n_coarse/block "
+                  f"recording; assuming n_coarse={args.n_coarse} "
+                  f"block={args.block}", file=sys.stderr)
+            n_coarse = args.n_coarse if n_coarse is None else n_coarse
+            blk = args.block if blk is None else blk
         p = sc["params"]
         st = roi_protocol.scene_tuple(sc)
         mixed = st[0]
-        bv0 = jnp.asarray(roi_protocol.make_orbit_views(
-            sc["radius"], sweep.get("quality_frames", 30))[0])
+        views = roi_protocol.make_orbit_views(
+            sc["radius"], sweep.get("quality_frames", 30))
+        bv0 = jnp.asarray(views[0])
         kind = v.get("policy_kind", "policy")
         n_b, n_p = v["tuned_n"], v["policy_n"]
 
-        def f_base():
-            return roi_policy.render_fixed(mixed, bv0, p, w, h, n_b,
-                                           block=args.block)[0]
+        def f_base(bv=bv0):
+            return roi_policy.render_fixed(mixed, bv, p, w, h, n_b,
+                                           block=blk)[0]
 
         if kind == "policy_fov":
             corners = roi_policy.roi_world_corners(sc["P"], sc["B"], p)
 
-            def f_pol():
+            def f_pol(bv=bv0):
                 return roi_policy.render_policy_foveated(
-                    pol, *st, bv0, p, w, h, corners, args.n_coarse, n_p,
-                    probe_stride=stride, block=args.block,
+                    pol, *st, bv, p, w, h, corners, n_coarse, n_p,
+                    probe_stride=stride, block=blk,
                     rho_upsample=ru)[0]
         else:
-            def f_pol():
+            def f_pol(bv=bv0):
                 return roi_policy.render_policy(
-                    pol, *st, bv0, p, w, h, args.n_coarse, n_p,
+                    pol, *st, bv, p, w, h, n_coarse, n_p,
                     roi_policy.PolicyConfig(), probe_stride=stride,
-                    block=args.block, rho_upsample=ru)[0]
+                    block=blk, rho_upsample=ru)[0]
 
         pairs = timed_pair(f_base, f_pol, args.rounds)
         a = np.array([x for x, _ in pairs])
@@ -155,7 +173,32 @@ def main(argv=None):
         v["policy_ms"] = float(np.median(b))
         v["timing_method"] = (f"interleaved A/B, {args.rounds} rounds x "
                               f"3+3 frames")
-        v["success"] = bool(sp["median"] >= 1.8)
+
+        quality_ok = (v.get("policy_wpsnr", float("inf"))
+                      >= v.get("bar_db", float("-inf")))
+        if args.requality:
+            wp, ss = [], []
+            for bv in views:
+                ref = roi_protocol._render_ref(
+                    sc, bv, p, w, h, sweep.get("ref_steps", 512), blk,
+                    args.ref_cache, name)
+                wmap = roi_protocol._wmap_for(sc, bv, p, w, h)
+                q = roi_protocol._metrics_of(f_pol(jnp.asarray(bv)),
+                                             ref, wmap)
+                wp.append(q[1])
+                ss.append(q[2])
+            wq = roi_protocol.median_ci(wp)
+            sq = roi_protocol.median_ci(ss)
+            v["policy_wpsnr_presweep"] = v.get("policy_wpsnr")
+            v["policy_wpsnr"] = wq["median"]
+            v["policy_wpsnr_ci"] = wq["ci95"]
+            v["policy_ssim"] = sq["median"]
+            v["policy_ssim_ci"] = sq["ci95"]
+            quality_ok = wq["median"] >= v["bar_db"]
+            print(f"[retime] {name} requality: wpsnr "
+                  f"{v['policy_wpsnr_presweep']} -> {wq['median']:.2f} dB "
+                  f"(bar {v['bar_db']:.2f}), ssim {sq['median']:.5f}")
+        v["success"] = bool(sp["median"] >= 1.8 and quality_ok)
         changed = True
         print(f"[retime] {name} ({kind} n={n_p} vs B1 n={n_b}): "
               f"{old:.4f}x (sequential) -> {sp['median']:.4f}x "

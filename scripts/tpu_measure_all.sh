@@ -32,10 +32,18 @@ run() {  # run <timeout-sec> <name> <cmd...>
   local t=$1 name=$2; shift 2
   echo "=== [$name] start $(date -Is)" >> "$LOG"
   timeout "$t" "$@" >> "$LOG" 2>&1
-  echo "=== [$name] exit $? $(date -Is)" >> "$LOG"
+  local rc=$?
+  echo "=== [$name] exit $rc $(date -Is)" >> "$LOG"
+  return $rc
 }
 
-run 1800 pose_check python scripts/tpu_pose_check.py
+# A pose-check failure means the production pipeline is corrupted (the
+# 40.7 dB kernel-coexistence class) — abort instead of recording a full
+# set of corrupted measurements.
+if ! run 1800 pose_check python scripts/tpu_pose_check.py; then
+  echo "[watchdog] POSE CHECK FAILED — aborting measurements" >> "$LOG"
+  exit 1
+fi
 run 2400 bench bash -c 'python bench.py > /root/repo/bench_out.json'
 run 1800 neural_march_k2 python scripts/bench_neural_march.py --pred-kstride 2 --frames 10 --batches 3
 run 1800 neural_march_k1 python scripts/bench_neural_march.py --pred-kstride 1 --frames 10 --batches 3
