@@ -562,7 +562,8 @@ def write_report(results: Dict, md_path, suite: str = "showcase",
 
     def ci(rec, m):
         lo, hi = rec[m + "_ci"]
-        return f"{rec[m]:.2f} [{lo:.2f}, {hi:.2f}]"
+        d = 4 if m == "ssim" else 2  # SSIM sits at 0.999x; 2dp reads 1.00
+        return f"{rec[m]:.{d}f} [{lo:.{d}f}, {hi:.{d}f}]"
 
     title = ("ROI policy renderer — protocol results" if suite == "showcase"
              else "ROI policy renderer — ADVERSARIAL suite (out-of-protocol "
@@ -599,12 +600,28 @@ def write_report(results: Dict, md_path, suite: str = "showcase",
         ho_s = (f"{ho:+.2f} dB {'OK' if v.get('heldout_ok') else 'FAIL'}"
                 if ho is not None else "-")
         fov = " fov" if kind == "policy_fov" else ""
+        # Verdict-level quality/speedup fields (written by roi_retime's
+        # interleaved re-timing / --requality refresh) supersede the
+        # sweep-time records when present.
+        if "policy_wpsnr_ci" in v:
+            qrec = {"wpsnr": v["policy_wpsnr"],
+                    "wpsnr_ci": v["policy_wpsnr_ci"],
+                    "ssim": v["policy_ssim"], "ssim_ci": v["policy_ssim_ci"]}
+        else:
+            qrec = prec
+        sp = (ci(v, "speedup") + "x" if "speedup_ci" in v
+              else f"{v['speedup']:.2f}x")
         lines.append(
             f"| {name} | n={v['tuned_n']}, {v['tuned_ms']:.0f} ms | "
             f"n={v['policy_n']}{fov}, {v['policy_ms']:.0f} ms | "
-            f"{v['speedup']:.2f}x | {'YES' if v['success'] else 'no'} | "
-            f"{ci(prec, 'wpsnr')} dB | {ci(prec, 'ssim')} | {gain} | "
+            f"{sp} | {'YES' if v['success'] else 'no'} | "
+            f"{ci(qrec, 'wpsnr')} dB | {ci(qrec, 'ssim')} | {gain} | "
             f"{ho_s} |")
+    if any("timing_method" in v for v in verdicts):
+        lines += ["", "Speedup cells with a CI were re-timed with "
+                  "interleaved A/B batches (baseline and policy alternate "
+                  "inside every measurement round, so each speedup sample "
+                  "shares one tunnel-drift window; `scripts/roi_retime.py`)."]
     lines += ["", f"**Overall: {n_ok}/4 scenes >= 1.8x at <= 0.5 dB** "
               f"({'SUCCESS' if n_ok >= 3 else 'FAIL'} vs showcase-plan bar "
               f"at protocol resolution and frame counts)."]
