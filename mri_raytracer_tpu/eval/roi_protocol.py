@@ -640,6 +640,16 @@ def write_report(results: Dict, md_path, suite: str = "showcase",
                          + ("*" if a["success"] else ""))
         lines.append(f"| {v['scene']} | " + " | ".join(cells) + " |")
     lines += ["", "`*` = meets the 1.8x bar at that anchor."]
+    if lod_line is None and "lod_ablation" in results:
+        # Re-derive from the stored sweep so report rewrites (roi_retime)
+        # keep the ablation row.
+        ab = results["lod_ablation"]
+        pl_, plod = ab["policy"][-1], ab["policy_lod"][-1]
+        lod_line = (f"LOD ablation (n={pl_['n']}, fine-tuned head): policy "
+                    f"{pl_['wpsnr']:.2f} dB wPSNR / {pl_['ms']:.1f} ms -> "
+                    f"+LOD {plod['wpsnr']:.2f} dB / {plod['ms']:.1f} ms "
+                    f"(delta {plod['wpsnr'] - pl_['wpsnr']:+.2f} dB, "
+                    f"{plod['ms'] - pl_['ms']:+.1f} ms).")
     if lod_line:
         lines += ["", lod_line]
     suffix = "" if suite == "showcase" else "_hard"
