@@ -389,3 +389,28 @@ def test_protocol_sweep_foveated_kind(scene):
         assert np.isfinite(q["wpsnr"]) and q["ms"] > 0.0
     verdict = roi_protocol.evaluate_success(sweep)
     assert verdict.get("policy_kind") in ("policy", "policy_fov", None)
+
+
+def test_foveated_inset_aligned_at_probe_stride(scene):
+    """At probe_stride > 1 the inset origin must land on the probe grid so
+    the shared coarse probes / policy decisions / rho coincide with the
+    full-resolution render's raster-anchored blocks — the bit-exactness
+    guarantee the protocol relies on at 1080p (auto stride 8). Regression
+    for the even-only alignment that broke it for any stride > 2."""
+    bv = _basis(scene)
+    S, n = 4, 32
+    corners = roi_policy.roi_world_corners(scene["P"], scene["B"],
+                                           scene["params"])
+    full, _ = roi_policy.render_policy(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        n_coarse=16, n_fine=n, cfg=CFG, probe_stride=S, rho_upsample=2)
+    fov, stats = roi_policy.render_policy_foveated(
+        _constant_policy(), *_st(scene), bv, scene["params"], 64, 64,
+        corners, n_coarse=16, n_fine=n, cfg=CFG, probe_stride=S,
+        rho_upsample=2, rect_frac=0.5, feather=4)
+    x0, y0, rw, rh = (int(stats["rect"][0]), int(stats["rect"][1]),
+                      int(stats["rect"][2]), int(stats["rect"][3]))
+    assert x0 % S == 0 and y0 % S == 0, (x0, y0)
+    inner = np.asarray(fov)[y0 + 4:y0 + rh - 4, x0 + 4:x0 + rw - 4]
+    ref_in = np.asarray(full)[y0 + 4:y0 + rh - 4, x0 + 4:x0 + rw - 4]
+    np.testing.assert_allclose(inner, ref_in, rtol=1e-4, atol=2e-4)
