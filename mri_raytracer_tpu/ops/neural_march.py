@@ -626,12 +626,23 @@ class NeuralBratsRenderer:
             z_offset=z_off, nk_global=nk if slab else None,
             ab_offset=ab, inplane_global=ipg, kstride=self.kstride)
         # Warp in its own program (Pallas kernel coexistence — see
-        # _render_neural_fused docstring).
+        # _render_neural_fused docstring). Window variant chosen per frame
+        # from the host-side analytic footprint bound (see render/brats.py).
+        warp_win = None
+        if isinstance(basis, CameraBasis):
+            try:
+                warp_win = sw.warp_window_hint(
+                    basis, p, tuple(dims_perm), axis, out_res, self.width,
+                    self.height, content_lo=(k_lo, a_lo, b_lo),
+                    content_hi=(k_hi, a_hi, b_hi))
+            except Exception:
+                warp_win = None
         return sw.warp_program(C, basis_vec, p, axis, self.width,
                                self.height, out_res,
                                tuple(int(d) for d in mixed_s.shape),
                                z_off, nk if slab else None, ab, ipg,
-                               use_pallas=jax.default_backend() == "tpu")
+                               use_pallas=jax.default_backend() == "tpu",
+                               win=warp_win)
 
     def render_numpy(self, basis, p) -> "np.ndarray":
         import numpy as np

@@ -49,6 +49,33 @@ PIX = TILE_I * TILE_J  # pixels per tile (one kernel invocation)
 # 8x over at near-diagonal poses. Extreme minification beyond this
 # still falls back to the gather warp.
 WIN_I, WIN_J = 160, 384
+# Smaller compiled window variant: the kernel's matmul FLOPs scale with
+# win_i * win_j, and the measured per-tile footprints at 1024^2/256^3 bench
+# poses are far below the worst case (orbit max 97 x 89, axis faces 32 x 32,
+# top 44 x 44, diag-low 82 x 80 — all fit (112, 256) — vs the exact
+# diagonal's 131 x 128, which needs the max window;
+# scripts/diag_warp_spans.py). The production renderer computes a host-side
+# analytic footprint bound per frame (shearwarp.warp_window_hint) and
+# dispatches the smallest fitting variant: 2.1x fewer matmul FLOPs at every
+# bench pose but the exact diagonal. The ladder is deliberately SHORT —
+# each rung is a separate compiled program per sweep axis, and warmup must
+# compile all of them (a remote-compile tunnel charges minutes per
+# program); a third (64, 256) rung measured only ~1.7x more FLOP savings
+# on the poses it fits while adding 3 more warmup compiles.
+WINDOW_LADDER = ((112, 256), (WIN_I, WIN_J))
+
+
+def choose_window(span_i: float, span_j: float,
+                  margin: float = 6.0) -> Tuple[int, int]:
+    """Smallest ladder window whose fit bound covers the given per-tile
+    footprint spans (host-side floats from ``shearwarp.warp_window_hint``).
+    ``margin`` absorbs the hint's corner-sampling underestimate; the
+    in-program ``warp_fit_starts`` check (with the chosen window) remains
+    the correctness gate — a wrong hint only costs the gather fallback."""
+    for wi, wj in WINDOW_LADDER:
+        if span_i + margin < wi - 1 - 8 and span_j + margin < wj - 1 - 128:
+            return wi, wj
+    return WINDOW_LADDER[-1]
 
 
 def _make_warp_kernel(win_i: int, win_j: int, group: int, n_groups: int):
@@ -105,7 +132,7 @@ def _make_warp_kernel(win_i: int, win_j: int, group: int, n_groups: int):
 
 
 def warp_fit_starts(i_map: jnp.ndarray, j_map: jnp.ndarray, O: int,
-                    height: int, width: int):
+                    height: int, width: int, win: Tuple[int, int] = None):
     """XLA-side per-tile footprint analysis: returns ``(it, jt, starts,
     fits)`` — tile-flattened maps, aligned DMA start offsets, and whether
     EVERY tile's source footprint fits the kernel window. Callers must gate
@@ -113,9 +140,13 @@ def warp_fit_starts(i_map: jnp.ndarray, j_map: jnp.ndarray, O: int,
     never executes the kernel at all — running it unconditionally and
     discarding the result through the cond was observed to corrupt the
     surrounding program on TPU when another Pallas kernel (the fused
-    compositor) lives in the same graph."""
-    win_i = min(WIN_I, O)
-    win_j = min(WIN_J, O)
+    compositor) lives in the same graph.
+
+    ``win``: (win_i, win_j) kernel window variant (default the ladder max);
+    must match the ``win`` passed to ``warp_pallas_exec``."""
+    w_i, w_j = win if win is not None else (WIN_I, WIN_J)
+    win_i = min(w_i, O)
+    win_j = min(w_j, O)
     nTi = height // TILE_I
     nTj = width // TILE_J
     nT = nTi * nTj
@@ -146,12 +177,15 @@ def warp_fit_starts(i_map: jnp.ndarray, j_map: jnp.ndarray, O: int,
 
 def warp_pallas_exec(C3: jnp.ndarray, it: jnp.ndarray, jt: jnp.ndarray,
                      starts: jnp.ndarray, height: int, width: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     win: Tuple[int, int] = None) -> jnp.ndarray:
     """The warp kernel proper, over ``warp_fit_starts`` outputs. Only valid
-    (and only safe to execute) when that analysis returned fits=True."""
+    (and only safe to execute) when that analysis (run with the SAME
+    ``win``) returned fits=True."""
     O = C3.shape[1]
-    win_i = min(WIN_I, O)
-    win_j = min(WIN_J, O)
+    w_i, w_j = win if win is not None else (WIN_I, WIN_J)
+    win_i = min(w_i, O)
+    win_j = min(w_j, O)
     nTi = height // TILE_I
     nTj = width // TILE_J
     nT = nTi * nTj
@@ -186,15 +220,19 @@ def warp_pallas_exec(C3: jnp.ndarray, it: jnp.ndarray, jt: jnp.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret",
+                                             "win"))
 def warp_pallas(C3: jnp.ndarray, i_map: jnp.ndarray, j_map: jnp.ndarray,
-                height: int, width: int,
-                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                height: int, width: int, interpret: bool = False,
+                win: Tuple[int, int] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Convenience/test wrapper: analysis + unconditional kernel execution.
     Returns (out (H, W, 3), fits () bool); ``out`` is valid only where
     ``fits``. Production callers use ``warp_fit_starts`` +
     ``warp_pallas_exec`` under ``lax.cond`` instead (see warp_fit_starts)."""
     O = C3.shape[1]
-    it, jt, starts, fits = warp_fit_starts(i_map, j_map, O, height, width)
-    out = warp_pallas_exec(C3, it, jt, starts, height, width, interpret)
+    it, jt, starts, fits = warp_fit_starts(i_map, j_map, O, height, width,
+                                           win=win)
+    out = warp_pallas_exec(C3, it, jt, starts, height, width, interpret,
+                           win=win)
     return out, fits

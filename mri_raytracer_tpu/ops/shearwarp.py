@@ -42,6 +42,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mri_raytracer_tpu.ops.raymarch_xla import blend_modalities, transfer_function
 from mri_raytracer_tpu.render.camera import CameraBasis, camera_rays, unpack_basis
@@ -699,7 +700,8 @@ def sweep_composite_slab(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
 # ---------------------------------------------------------------- final warp
 def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
                    axis: int, width: int, height: int,
-                   bg: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+                   bg: jnp.ndarray, use_pallas: bool = False,
+                   win: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Homography warp intermediate -> screen.
 
     Screen pixel ray (unit d, permuted): hits the base plane at
@@ -707,14 +709,30 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
     Two implementations: a row-gather bilinear (portable) and a Pallas
     tile-matmul kernel (ops/pallas_warp) selected on TPU whenever every
     tile's source footprint fits the kernel window (lax.cond at runtime).
+    ``win``: static kernel-window variant (see pallas_warp.WINDOW_LADDER);
+    None = the ladder max.
+
+    The maps are computed from UNNORMALIZED camera directions — the ray
+    normalization cancels in ``e + t_base * d`` (t_base carries 1/|d|), so
+    the prelude is a ratio of functions affine in pixel NDC instead of the
+    full camera_rays path (normalize + (H, W, 3) stacks); same homography,
+    ~1 ms cheaper at 1024^2 over the tunnel.
     """
     O = C.shape[0]
-    ro, rd = camera_rays(basis, width, height)  # (H,W,3) world
     order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
-    dk = rd[..., order[0]]
-    da_ = rd[..., order[1]]
-    db_ = rd[..., order[2]]
+    f = 1.0 / jnp.tan(0.5 * basis.fov_y)
+    aspect = width / max(1.0, float(height))
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    cx = (xs * aspect / f)[None, :]  # (1, W)
+    cy = (-ys / f)[:, None]  # (H, 1)
+    R = _permute3(basis.right, axis)
+    U = _permute3(basis.up, axis)
+    F = _permute3(basis.forward, axis)
     e = geom.e
+    dk = cx * R[0] + cy * U[0] + F[0]  # (H, W) unnormalized
+    da_ = cx * R[1] + cy * U[1] + F[1]
+    db_ = cx * R[2] + cy * U[2] + F[2]
     denom = jnp.where(jnp.abs(dk) < _EPS, _EPS, dk)
     t_base = (geom.w_base - e[0]) / denom
     hit_a = e[1] + t_base * da_
@@ -757,7 +775,7 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
 
         C3 = jnp.moveaxis(C, -1, 0)
         it, jt, starts, fits = warp_fit_starts(i_map, j_map, O, height,
-                                               width)
+                                               width, win=win)
         # The kernel must execute ONLY when the footprint fits: running it
         # unconditionally and discarding the result through the cond was
         # observed to corrupt the frame when the fused Pallas compositor
@@ -765,7 +783,8 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
         # stray kernel vs 64.3 dB without, identical cond selection).
         out = jax.lax.cond(
             fits,
-            lambda: warp_pallas_exec(C3, it, jt, starts, height, width),
+            lambda: warp_pallas_exec(C3, it, jt, starts, height, width,
+                                     win=win),
             lambda: gather_warp(C, i_map, j_map))
     else:
         out = gather_warp(C, i_map, j_map)
@@ -815,6 +834,138 @@ def content_geometry(basis, p, dims_local, axis, out_res, width, height,
     return sweep_geometry(basis, p, (nk, na_g, nb_g), axis, out_res,
                           content_lo, content_hi,
                           frustum_wh=(width, height))
+
+
+def _sweep_scalars_np(basis, p, dims_perm, axis, out_res, content_lo=None,
+                      content_hi=None, frustum_wh=None):
+    """Host (numpy) twin of ``sweep_geometry``'s MAP scalars — returns
+    ``(w_base, e, a0, da, b0, db)`` with the same math as the traced
+    version (guarded by tests/test_shearwarp.py::test_sweep_scalars_np).
+
+    Exists so the renderer can bound the screen-warp's per-tile source
+    footprint analytically BEFORE dispatch (``warp_window_hint``) and pick
+    the smallest compiled kernel-window variant; all inputs are host values
+    (the camera basis is host numpy, params leaves are host, crop offsets
+    are Python ints at prep time), so this costs no device round-trip."""
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+
+    def perm(v):
+        v = np.asarray(v, np.float32)
+        return np.array([v[order[0]], v[order[1]], v[order[2]]],
+                        np.float32)
+
+    # float32 throughout: mirrors the traced math bit-for-bit closely
+    # enough that tie-breaks (e.g. the base-plane pick at symmetric poses)
+    # agree with the device program.
+    Nk, Na, Nb = dims_perm
+    bmin = perm(p.vol_min)
+    vox = perm(p.voxel_size)
+    e = perm(basis.eye)
+    dimsf = np.array([Nk, Na, Nb], np.float32)
+    c_lo = np.zeros(3, np.float32) if content_lo is None \
+        else np.asarray(content_lo, np.float32)
+    c_hi = dimsf if content_hi is None \
+        else np.asarray(content_hi, np.float32)
+
+    w_lo = bmin[0] + vox[0] * c_lo[0]
+    w_hi = bmin[0] + vox[0] * c_hi[0]
+    w_base = w_hi if abs(w_hi - e[0]) > abs(w_lo - e[0]) else w_lo
+
+    ca = bmin[1] + vox[1] * np.array([c_lo[1], c_hi[1]])
+    cb = bmin[2] + vox[2] * np.array([c_lo[2], c_hi[2]])
+    ck = np.array([w_lo, w_hi])
+    K, A, B = np.meshgrid(ck, ca, cb, indexing="ij")
+    denom = K.reshape(-1) - e[0]
+    denom = np.where(np.abs(denom) < _EPS, _EPS, denom)
+    lam = np.clip((w_base - e[0]) / denom, 0.0, 64.0)
+    proj_a = e[1] + lam * (A.reshape(-1) - e[1])
+    proj_b = e[2] + lam * (B.reshape(-1) - e[2])
+    size_a = ca[1] - ca[0]
+    size_b = cb[1] - cb[0]
+    amin, amax = proj_a.min(), proj_a.max()
+    bmin2, bmax2 = proj_b.min(), proj_b.max()
+    if frustum_wh is not None:
+        W, H = frustum_wh
+        f = 1.0 / np.tan(0.5 * float(basis.fov_y))
+        aspect = W / max(1.0, float(H))
+        ux = (0.5 / W) * 2.0 - 1.0
+        vy = (0.5 / H) * 2.0 - 1.0
+        right = np.asarray(basis.right, np.float32)
+        up = np.asarray(basis.up, np.float32)
+        fwd = np.asarray(basis.forward, np.float32)
+        hits_a, hits_b, ts = [], [], []
+        for sx in (ux, -ux):
+            for sy in (vy, -vy):
+                d = (sx * aspect / f) * right + (-sy / f) * up + fwd
+                dp = perm(d)
+                dk = dp[0] if abs(dp[0]) >= _EPS else _EPS
+                t = (w_base - e[0]) / dk
+                ts.append(t)
+                hits_a.append(e[1] + t * dp[1])
+                hits_b.append(e[2] + t * dp[2])
+        if min(ts) > 0.0:
+            fa = np.array(hits_a)
+            fb = np.array(hits_b)
+            pad_a = 0.01 * (fa.max() - fa.min())
+            pad_b = 0.01 * (fb.max() - fb.min())
+            amin = max(amin, fa.min() - pad_a)
+            amax = min(amax, fa.max() + pad_a)
+            bmin2 = max(bmin2, fb.min() - pad_b)
+            bmax2 = min(bmax2, fb.max() + pad_b)
+    amin = np.clip(amin, ca[0] - 8.0 * size_a, ca[1] + 8.0 * size_a)
+    amax = np.clip(amax, ca[0] - 8.0 * size_a, ca[1] + 8.0 * size_a)
+    bmin2 = np.clip(bmin2, cb[0] - 8.0 * size_b, cb[1] + 8.0 * size_b)
+    bmax2 = np.clip(bmax2, cb[0] - 8.0 * size_b, cb[1] + 8.0 * size_b)
+    da = max(amax - amin, _EPS) / (out_res - 1)
+    db = max(bmax2 - bmin2, _EPS) / (out_res - 1)
+    return w_base, e, amin, da, bmin2, db
+
+
+def warp_window_hint(basis, p, dims_perm, axis, out_res, width, height,
+                     content_lo=None, content_hi=None):
+    """Host-side analytic bound of the screen-warp's per-tile source
+    footprint -> the smallest Pallas warp-window variant that holds it
+    (``pallas_warp.WINDOW_LADDER``). Evaluates the warp homography at
+    tile-corner pixel centers in numpy (~1k points, no device work); the
+    in-program ``warp_fit_starts`` check with the chosen window remains the
+    correctness gate, so an underestimating hint only costs the gather
+    fallback on that frame, never a wrong image."""
+    from mri_raytracer_tpu.ops.pallas_warp import (TILE_I, TILE_J,
+                                                   choose_window)
+
+    w_base, e, a0, da, b0, db = _sweep_scalars_np(
+        basis, p, dims_perm, axis, out_res, content_lo, content_hi,
+        (width, height))
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+    right = np.asarray(basis.right, np.float64)
+    up = np.asarray(basis.up, np.float64)
+    fwd = np.asarray(basis.forward, np.float64)
+    R = np.array([right[o] for o in order])
+    U = np.array([up[o] for o in order])
+    F = np.array([fwd[o] for o in order])
+    f = 1.0 / np.tan(0.5 * float(basis.fov_y))
+    aspect = width / max(1.0, float(height))
+    cols = np.append(np.arange(0, width, TILE_J), width - 1)
+    rows = np.append(np.arange(0, height, TILE_I), height - 1)
+    cx = (((cols + 0.5) / width * 2.0 - 1.0) * aspect / f)[None, :]
+    cy = (-((rows + 0.5) / height * 2.0 - 1.0) / f)[:, None]
+    dk = cx * R[0] + cy * U[0] + F[0]
+    da_ = cx * R[1] + cy * U[1] + F[1]
+    db_ = cx * R[2] + cy * U[2] + F[2]
+    denom = np.where(np.abs(dk) < _EPS, _EPS, dk)
+    t_base = (w_base - e[0]) / denom
+    i_map = np.clip((e[1] + t_base * da_ - a0) / da, 0.0, out_res - 1.0)
+    j_map = np.clip((e[2] + t_base * db_ - b0) / db, 0.0, out_res - 1.0)
+
+    def span(m):
+        m = np.floor(m)
+        hi = np.maximum(np.maximum(m[:-1, :-1], m[:-1, 1:]),
+                        np.maximum(m[1:, :-1], m[1:, 1:]))
+        lo = np.minimum(np.minimum(m[:-1, :-1], m[:-1, 1:]),
+                        np.minimum(m[1:, :-1], m[1:, 1:]))
+        return float((hi - lo).max()) + 1.0
+
+    return choose_window(span(i_map), span(j_map))
 
 
 def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
@@ -883,28 +1034,30 @@ def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
 @functools.partial(jax.jit,
                    static_argnames=("axis", "width", "height", "out_res",
                                     "dims_local", "nk_global",
-                                    "inplane_global", "use_pallas"))
+                                    "inplane_global", "use_pallas", "win"))
 def warp_program(C, basis_vec, p, axis, width, height, out_res, dims_local,
                  z_offset=None, nk_global=None, ab_offset=None,
-                 inplane_global=None, use_pallas=True):
+                 inplane_global=None, use_pallas=True, win=None):
     """Standalone warp half of the split pipeline: rebuilds the (cheap,
     scalar-dominated) sweep geometry from the same traced offsets as the
     compositing program, then warps the intermediate to screen. Lives in
     its OWN jit program so the Pallas warp kernel never shares a compiled
     program with the fused Pallas compositor (coexistence miscompile —
-    see _render_prepared_impl)."""
+    see _render_prepared_impl). ``win``: static kernel-window variant
+    (pallas_warp.WINDOW_LADDER), host-selected per frame from the analytic
+    footprint bound (warp_window_hint)."""
     basis = unpack_basis(basis_vec)
     geom = content_geometry(basis, p, dims_local, axis, out_res, width,
                             height, z_offset, nk_global, ab_offset,
                             inplane_global)
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, win=win)
 
 
 def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                     out_res, supersample=1, use_gamma=True, use_clip=True,
                     composite="scan", z_offset=None, nk_global=None,
-                    ab_offset=None, inplane_global=None):
+                    ab_offset=None, inplane_global=None, warp_win=None):
     """Per-frame renderer over cached prepared volumes (the interactive path).
 
     ``z_offset``/``nk_global``: slab contract (empty-space k-crop or sharded
@@ -914,6 +1067,9 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
     prepared volumes hold rows [a_off, a_off + Na) x cols [b_off, b_off + Nb)
     of an (na_g, nb_g) in-plane extent, and the intermediate image covers
     only the content box's projection.
+    ``warp_win``: static Pallas warp-window variant for the split pipeline
+    (pallas_warp.WINDOW_LADDER; None = ladder max) — callers pick it per
+    frame via ``warp_window_hint``.
     """
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
@@ -943,7 +1099,8 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                              inplane_global, warp=False)
         return warp_program(C, basis_vec, p, axis, width, height, out_res,
                             tuple(int(d) for d in mixed_s.shape), z_off,
-                            nk_global, ab, inplane_global, use_pallas=True)
+                            nk_global, ab, inplane_global, use_pallas=True,
+                            win=warp_win)
     return _render_prepared(mixed_s, seg_s if seg_s is not None else zeros,
                             pred_s if pred_s is not None else zeros,
                             basis_vec,

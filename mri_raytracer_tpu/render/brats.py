@@ -122,7 +122,7 @@ class BratsRenderer:
 
             composite = "pallas" if self.backend == "sweep_pallas" else "scan"
 
-            def call(mods, seg, pred, basis, params):
+            def call(mods, seg, pred, basis, params, warp_win_override=None):
                 # Cache the device copy of params + static flags per params
                 # VALUE: an unchanged params pytree costs ZERO per-frame
                 # host->device transfers (the camera is one packed (13,)
@@ -195,6 +195,23 @@ class BratsRenderer:
                 else:
                     out_res = base_res
                 slab = (k_lo, k_hi) != (0, nk)
+                # Host-side analytic footprint bound -> smallest compiled
+                # warp-window variant (pallas_warp.WINDOW_LADDER): the warp
+                # kernel's matmul FLOPs scale with the window area, and most
+                # poses need a fraction of the worst-case window. Pure
+                # numpy on host values (~50 us); a wrong hint only costs
+                # the in-program gather fallback, never a wrong image.
+                if warp_win_override is not None or composite != "pallas":
+                    warp_win = warp_win_override
+                else:
+                    try:
+                        warp_win = shearwarp.warp_window_hint(
+                            basis, params, (nk, na_g, nb_g), axis, out_res,
+                            self.width, self.height,
+                            content_lo=(k_lo, a_lo, b_lo),
+                            content_hi=(k_hi, a_hi, b_hi))
+                    except Exception:
+                        warp_win = None  # ladder max
                 return shearwarp.render_prepared(
                     mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
                     self.height, out_res, supersample=self.supersample,
@@ -203,7 +220,8 @@ class BratsRenderer:
                     z_offset=z_dev if slab else None,
                     nk_global=nk if slab else None,
                     ab_offset=ab_dev if inplane_cropped else None,
-                    inplane_global=(na_g, nb_g) if inplane_cropped else None)
+                    inplane_global=(na_g, nb_g) if inplane_cropped else None,
+                    warp_win=warp_win)
         else:
             fn = raymarch_xla.render_brats
 
@@ -215,15 +233,25 @@ class BratsRenderer:
 
     def warmup(self, params: BratsRenderParams) -> None:
         """Pre-compile every sweep-axis variant so an interactive orbit never
-        hits a compile stall when the dominant axis flips."""
+        hits a compile stall when the dominant axis flips. On the fused TPU
+        path this also compiles every warp-window ladder variant per axis
+        (the per-frame window hint switches between them as the footprint
+        changes mid-orbit — each must already be compiled or the orbit
+        stalls on the first pose that needs it)."""
         import math
 
         from mri_raytracer_tpu.render.camera import OrbitalCamera
 
+        wins = (None,)
+        if self.backend == "sweep_pallas" and jax.default_backend() == "tpu":
+            from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+            wins = WINDOW_LADDER
         for theta, phi in ((0.0, math.pi / 2), (math.pi / 2, math.pi / 2),
                            (0.0, 0.05)):
             cam = OrbitalCamera(radius=2.0, theta=theta, phi=phi)
-            out = self.render(cam.basis(), params)
+            for win in wins:
+                out = self.render(cam.basis(), params, _warp_win=win)
         jax.block_until_ready(out)
 
     def set_prediction(self, pred: Optional[np.ndarray]) -> None:
@@ -232,7 +260,13 @@ class BratsRenderer:
         self._prep_cache.clear()  # prepared volumes embed has_pred/pred data
         self._refresh_bbox()  # pred content may extend the crop box
 
-    def render(self, basis: CameraBasis, params: BratsRenderParams) -> jnp.ndarray:
+    def render(self, basis: CameraBasis, params: BratsRenderParams,
+               _warp_win=None) -> jnp.ndarray:
+        """``_warp_win``: internal — force a warp-window ladder variant
+        (warmup precompilation); production frames use the per-frame hint."""
+        if self.backend in ("sweep", "sweep_pallas"):
+            return self._call(self.mods, self.seg, self.pred, basis, params,
+                              warp_win_override=_warp_win)
         return self._call(self.mods, self.seg, self.pred, basis, params)
 
     def render_numpy(self, basis: CameraBasis, params: BratsRenderParams) -> np.ndarray:

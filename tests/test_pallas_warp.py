@@ -77,3 +77,35 @@ def test_sweep_renderer_with_pallas_flag_cpu():
     cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE))
     img = sw.render_brats(disp, None, None, cam.basis(), p, 64, 64, out_res=64)
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.parametrize("win", [(112, 256), (160, 384)])
+def test_warp_pallas_window_ladder(win):
+    """Every compiled window variant computes the same bilinear warp —
+    the production renderer switches variants per frame via the host
+    footprint hint (shearwarp.warp_window_hint)."""
+    rng = np.random.default_rng(1)
+    O = 512
+    H = W = 2 * TILE_I
+    C = rng.normal(0, 1, (O, O, 3)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    i_map = (yy * 0.9 + xx * 0.25 + 7.7).astype(np.float32)
+    j_map = (xx * 0.8 - yy * 0.35 + 90.1).astype(np.float32)
+    i_map = np.clip(i_map, 0, O - 1.01)
+    j_map = np.clip(j_map, 0, O - 1.01)
+    out, fits = warp_pallas(jnp.moveaxis(jnp.asarray(C), -1, 0),
+                            jnp.asarray(i_map), jnp.asarray(j_map), H, W,
+                            interpret=True, win=win)
+    assert bool(fits)
+    ref = _gather_ref(C, i_map, j_map)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.02, atol=0.02)
+
+
+def test_choose_window_ladder():
+    from mri_raytracer_tpu.ops.pallas_warp import choose_window, WINDOW_LADDER
+
+    assert choose_window(32, 32) == WINDOW_LADDER[0]
+    assert choose_window(97, 89) == (112, 256)  # orbit worst tile
+    assert choose_window(131, 128) == WINDOW_LADDER[-1]  # exact diagonal
+    # beyond any window: ladder max (the in-program check falls back)
+    assert choose_window(500, 500) == WINDOW_LADDER[-1]

@@ -176,3 +176,91 @@ def test_content_crop_matches_full():
                                         max_steps=2048))
     assert psnr(img_crop, img_o) >= 38.0
     assert psnr(img_full, img_o) >= 38.0
+
+
+@pytest.mark.parametrize("theta,phi", VIEWS)
+def test_sweep_scalars_np_matches_traced(theta, phi):
+    """The host (numpy) geometry twin must agree with the traced
+    sweep_geometry on every map scalar — it sizes the warp kernel window
+    before dispatch (warp_window_hint), so drift would silently mis-pick
+    the window (cost: gather fallback, caught here instead)."""
+    dims = (64, 64, 56)
+    p = rp.default_render_params(dims, show_seg=False, step_size=VOX)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, dims),
+                        theta=theta, phi=phi)
+    b = cam.basis()
+    for content in (None, ((8.0, 4.0, 6.0), (56.0, 60.0, 50.0))):
+        lo, hi = content if content else (None, None)
+        for axis in range(3):
+            dims_perm = tuple(dims[o] for o in
+                              {0: (0, 1, 2), 1: (1, 0, 2),
+                               2: (2, 0, 1)}[axis])
+            lo_p = hi_p = None
+            if content:
+                order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+                lo_p = tuple(lo[o] for o in order)
+                hi_p = tuple(hi[o] for o in order)
+            g = sw.sweep_geometry(
+                b, p, dims_perm, axis, 128,
+                None if lo_p is None else jnp.asarray(lo_p, jnp.float32),
+                None if hi_p is None else jnp.asarray(hi_p, jnp.float32),
+                frustum_wh=(96, 96))
+            w_base, e, a0, da, b0, db = sw._sweep_scalars_np(
+                b, p, dims_perm, axis, 128, lo_p, hi_p, (96, 96))
+            for name, traced, host in (
+                    ("w_base", g.w_base, w_base), ("a0", g.a0, a0),
+                    ("da", g.da, da), ("b0", g.b0, b0), ("db", g.db, db)):
+                np.testing.assert_allclose(
+                    float(traced), host, rtol=2e-4, atol=2e-4,
+                    err_msg=f"{name} axis={axis} pose=({theta},{phi}) "
+                            f"content={content is not None}")
+            np.testing.assert_allclose(np.asarray(g.e), e, rtol=1e-5)
+
+
+@pytest.mark.parametrize("theta,phi", VIEWS + [(0.85, 0.85), (0.6, 1.2)])
+def test_warp_window_hint_fits_device(theta, phi):
+    """Whenever the hint picks a sub-maximal window, the device-side
+    footprint analysis with that window must report fits=True — otherwise
+    the hint saves FLOPs only to trigger the gather fallback."""
+    from mri_raytracer_tpu.ops import pallas_warp as pw
+
+    dims_perm = (64, 64, 56)
+    W = H = 128
+    out_res = 128
+    p = rp.default_render_params((64, 64, 56), show_seg=False,
+                                 step_size=VOX)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, dims_perm),
+                        theta=theta, phi=phi)
+    b = cam.basis()
+    axis = sw.dominant_axis(b)
+    win = sw.warp_window_hint(b, p, dims_perm, axis, out_res, W, H)
+    assert win in pw.WINDOW_LADDER
+    if win == pw.WINDOW_LADDER[-1]:
+        return  # ladder max: in-program fits check is the only gate
+    geom = sw.sweep_geometry(b, p, dims_perm, axis, out_res,
+                             frustum_wh=(W, H))
+    img = jnp.zeros((out_res, out_res, 3), jnp.float32)
+    # Reproduce warp_to_screen's maps, then check the device-side fit.
+    order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+    f = 1.0 / np.tan(0.5 * float(b.fov_y))
+    aspect = W / float(H)
+    xs = (np.arange(W) + 0.5) / W * 2.0 - 1.0
+    ys = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    cx = (xs * aspect / f)[None, :]
+    cy = (-ys / f)[:, None]
+    R = np.array([np.asarray(b.right)[o] for o in order])
+    U = np.array([np.asarray(b.up)[o] for o in order])
+    F = np.array([np.asarray(b.forward)[o] for o in order])
+    dk = cx * R[0] + cy * U[0] + F[0]
+    denom = np.where(np.abs(dk) < 1e-6, 1e-6, dk)
+    t_base = (float(geom.w_base) - float(geom.e[0])) / denom
+    i_map = np.clip((float(geom.e[1]) + t_base * (cx * R[1] + cy * U[1]
+                                                  + F[1])
+                     - float(geom.a0)) / float(geom.da), 0, out_res - 1.0)
+    j_map = np.clip((float(geom.e[2]) + t_base * (cx * R[2] + cy * U[2]
+                                                  + F[2])
+                     - float(geom.b0)) / float(geom.db), 0, out_res - 1.0)
+    _, _, _, fits = pw.warp_fit_starts(jnp.asarray(i_map, jnp.float32),
+                                       jnp.asarray(j_map, jnp.float32),
+                                       out_res, H, W, win=win)
+    assert bool(fits), (win, theta, phi, axis)
