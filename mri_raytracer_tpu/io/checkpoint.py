@@ -138,6 +138,141 @@ def inspect_npz(path, indent: int = 0) -> List[str]:
     return lines
 
 
+# --------------------------------------------------- torch .pth interop (C6)
+def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pth`` checkpoint into ``{name: np.ndarray}``.
+
+    Accepts the three layouts the reference persists (C6): a raw
+    ``state_dict`` (U-Net / distilled MLP, ``Final-1.ipynb §6,§12``), a dict
+    wrapping one under ``state_dict``/``model_state_dict``, and nnU-Net's
+    ``checkpoint_final.pth`` whose weights live under ``network_weights``
+    (``scripts/nnunet_train_export.py:404-410``). Requires the ``[torch]``
+    extra."""
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    for key in ("network_weights", "state_dict", "model_state_dict"):
+        if isinstance(obj, dict) and isinstance(obj.get(key), dict):
+            obj = obj[key]
+            break
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path}: expected a state_dict, got {type(obj)}")
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[str(k)] = v.detach().cpu().numpy()
+    if not out:
+        raise ValueError(f"{path}: no tensors in checkpoint "
+                         f"(keys: {list(obj)[:8]})")
+    return out
+
+
+def torch_mlp_to_pytree(state_dict: Dict[str, np.ndarray]
+                        ) -> List[Dict[str, np.ndarray]]:
+    """torch ``nn.Linear`` stack -> our list-of-``{'W','b'}`` MLP pytree.
+
+    Imports the reference's distilled implicit MLP teacher
+    (``Final-1.ipynb §12``: ``net.{0,2,4}.weight/bias``) — torch Linear
+    weights are ``(out, in)``, ours are ``(in, out)``, so each W transposes.
+    The result feeds ``models.mlp.apply_mlp`` directly."""
+    import re
+
+    layers: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in state_dict.items():
+        m = re.match(r"(?:.*\.)?(\d+)\.(weight|bias)$", k)
+        if not m:
+            continue
+        v = np.asarray(v)
+        want = 2 if m.group(2) == "weight" else 1
+        if v.ndim != want:
+            continue
+        layers.setdefault(int(m.group(1)), {})[m.group(2)] = v
+    idxs = sorted(i for i, d in layers.items() if "weight" in d)
+    if not idxs:
+        raise ValueError(f"no Linear layers among {list(state_dict)[:8]}")
+    out = []
+    for i in idxs:
+        w = layers[i]["weight"]
+        b = layers[i].get("bias", np.zeros(w.shape[0], w.dtype))
+        out.append({"W": np.ascontiguousarray(w.T), "b": b})
+    return out
+
+
+# torch module prefix -> flax.linen auto-name in models.unet.UNet2D (call
+# order fixes the indices; see Final-1.ipynb §4 for the torch names).
+_UNET_BLOCK_MAP = {
+    "d1": "DoubleConv_0", "d2": "DoubleConv_1", "d3": "DoubleConv_2",
+    "b": "DoubleConv_3", "c3": "DoubleConv_4", "c2": "DoubleConv_5",
+    "c1": "DoubleConv_6",
+    "u3": "ConvTranspose_0", "u2": "ConvTranspose_1", "u1": "ConvTranspose_2",
+    "out": "Conv_0",
+}
+# inside a torch DoubleConv's nn.Sequential: 0=Conv,1=BN,3=Conv,4=BN
+_DC_INNER = {"0": ("Conv_0", "conv"), "1": ("BatchNorm_0", "bn"),
+             "3": ("Conv_1", "conv"), "4": ("BatchNorm_1", "bn")}
+
+
+def torch_unet_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ``UNet2D`` torch ``state_dict`` -> flax ``variables`` for
+    ``models.unet.UNet2D`` (M7 teacher reuse, ``Final-1.ipynb §4,§6``).
+
+    Layout conversions: Conv2d ``(out,in,kh,kw)`` -> ``(kh,kw,in,out)``;
+    ConvTranspose2d ``(in,out,kh,kw)`` -> ``(kh,kw,in,out)`` with a spatial
+    kernel FLIP (torch's transposed conv scatters the kernel as stored;
+    ``lax.conv_transpose(transpose_kernel=False)`` correlates, which for the
+    2x2/stride-2 upsamplers reverses the intra-block arrangement);
+    BatchNorm weight/bias -> scale/bias params, running stats ->
+    ``batch_stats``. Verified bit-close against a torch eval-mode forward in
+    ``tests/test_torch_interop.py``."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    for k, v in state_dict.items():
+        parts = k.split(".")
+        block = _UNET_BLOCK_MAP.get(parts[0])
+        if block is None:
+            raise KeyError(f"unexpected UNet2D key {k!r}")
+        v = np.asarray(v)
+        if block.startswith("DoubleConv"):
+            # d1.net.0.weight -> parts = [d1, net, 0, weight]
+            inner, kind = _DC_INNER[parts[2]]
+            leaf = parts[3]
+            if kind == "conv":
+                if leaf == "weight":
+                    put(params, (block, inner, "kernel"),
+                        v.transpose(2, 3, 1, 0))
+                else:
+                    put(params, (block, inner, "bias"), v)
+            else:  # bn
+                if leaf == "weight":
+                    put(params, (block, inner, "scale"), v)
+                elif leaf == "bias":
+                    put(params, (block, inner, "bias"), v)
+                elif leaf == "running_mean":
+                    put(stats, (block, inner, "mean"), v)
+                elif leaf == "running_var":
+                    put(stats, (block, inner, "var"), v)
+                # num_batches_tracked: dropped
+        elif block.startswith("ConvTranspose"):
+            if parts[1] == "weight":
+                put(params, (block, "kernel"),
+                    v.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
+            else:
+                put(params, (block, "bias"), v)
+        else:  # 1x1 head Conv_0
+            if parts[1] == "weight":
+                put(params, (block, "kernel"), v.transpose(2, 3, 1, 0))
+            else:
+                put(params, (block, "bias"), v)
+    return {"params": params, "batch_stats": stats}
+
+
 # ------------------------------------------------------------- orbax (async)
 def orbax_checkpointer():
     """Optional orbax async checkpointer for large training states."""

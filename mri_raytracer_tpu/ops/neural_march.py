@@ -583,7 +583,32 @@ class NeuralBratsRenderer:
                                devs)
         return self._prep[key]
 
-    def render(self, basis, p: BratsRenderParams) -> jnp.ndarray:
+    def warmup(self, p: BratsRenderParams) -> None:
+        """Pre-compile every (sweep axis, warp-window ladder rung) variant of
+        the fused path, mirroring ``BratsRenderer.warmup``: the per-frame
+        footprint hint switches window variants mid-orbit, and each variant
+        is a separate compiled program — without this, the first pose whose
+        footprint flips the window stalls the interactive neural path on a
+        compile."""
+        import math
+
+        from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+        wins = (None,)
+        if self.backend == "fused" and jax.default_backend() == "tpu":
+            from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+            wins = WINDOW_LADDER
+        out = None
+        for theta, phi in ((0.0, math.pi / 2), (math.pi / 2, math.pi / 2),
+                           (0.0, 0.05)):
+            cam = OrbitalCamera(radius=2.0, theta=theta, phi=phi)
+            for win in wins:
+                out = self.render(cam.basis(), p, _warp_win=win)
+        jax.block_until_ready(out)
+
+    def render(self, basis, p: BratsRenderParams,
+               _warp_win=None) -> jnp.ndarray:
         basis_vec = basis.pack() if isinstance(basis, CameraBasis) else basis
         axis = sw.dominant_axis(basis)
         if self.backend == "rebake":
@@ -628,15 +653,21 @@ class NeuralBratsRenderer:
         # Warp in its own program (Pallas kernel coexistence — see
         # _render_neural_fused docstring). Window variant chosen per frame
         # from the host-side analytic footprint bound (see render/brats.py).
-        warp_win = None
-        if isinstance(basis, CameraBasis):
+        # Fallbacks use the ladder-max TUPLE, not None: both select the same
+        # window, but they are distinct static jit cache keys and warmup only
+        # precompiles the ladder tuples (render/brats.py has the same rule).
+        from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+        warp_win = WINDOW_LADDER[-1]
+        if _warp_win is not None:
+            warp_win = _warp_win
+        elif isinstance(basis, CameraBasis):
             try:
                 warp_win = sw.warp_window_hint(
                     basis, p, tuple(dims_perm), axis, out_res, self.width,
                     self.height, content_lo=(k_lo, a_lo, b_lo),
                     content_hi=(k_hi, a_hi, b_hi))
             except Exception:
-                warp_win = None
+                warp_win = WINDOW_LADDER[-1]
         return sw.warp_program(C, basis_vec, p, axis, self.width,
                                self.height, out_res,
                                tuple(int(d) for d in mixed_s.shape),

@@ -108,6 +108,7 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         t_ref[:] = jnp.ones_like(t_ref)
         started_ref[:] = jnp.zeros_like(started_ref)
         alive_ref[0] = jnp.int32(1)
+        alive_ref[1] = jnp.int32(0)  # executed-plane counter (echo='planes')
 
         # Column iota (tile_i, 1): positions are constant along the Na axis,
         # so per-plane position math runs on (tile_i, 1) and only the final
@@ -324,6 +325,16 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
 
             run = plane_ok & (alive_ref[0] > 0)
 
+            if echo == "planes":
+                # Arithmetic-accounting instrumentation (utils/arith.py):
+                # count the planes whose compute actually executes in this
+                # tile (plane/tile culling + early termination make static
+                # FLOP counts upper bounds; this makes them exact). Static
+                # flag — the production program compiles without it.
+                @pl.when(run)
+                def _():
+                    alive_ref[1] = alive_ref[1] + 1
+
             @pl.when(run & fast)
             def _():
                 compute(True)
@@ -337,7 +348,10 @@ def _make_kernel(n_planes: int, Na: int, out_res: int, tile_i: int,
         out_ref[0] = cg_ref[:] + lr_ref[:]
         out_ref[1] = cg_ref[:] + lg_ref[:]
         out_ref[2] = cg_ref[:] + lb_ref[:]
-        if echo:  # debug: surface a kernel INPUT as seen at runtime
+        if echo == "planes":  # executed-plane count, broadcast over the tile
+            out_ref[3] = jnp.zeros_like(t_ref) \
+                + alive_ref[1].astype(jnp.float32)
+        elif echo:  # debug: surface a kernel INPUT as seen at runtime
             out_ref[3] = {"r": r_ref, "dt": dt_ref, "vmag": vmag_ref}[echo][:]
         else:
             out_ref[3] = t_ref[:]
@@ -553,7 +567,7 @@ def sweep_composite_pallas(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # L b
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # T
             pltpu.VMEM((tile_i, tile_j), jnp.float32),  # started (entry corr)
-            pltpu.SMEM((1,), jnp.int32),  # alive (early-termination flag)
+            pltpu.SMEM((2,), jnp.int32),  # [alive flag, plane counter]
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

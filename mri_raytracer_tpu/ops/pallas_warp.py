@@ -65,15 +65,26 @@ WIN_I, WIN_J = 160, 384
 WINDOW_LADDER = ((112, 256), (WIN_I, WIN_J))
 
 
-def choose_window(span_i: float, span_j: float,
-                  margin: float = 6.0) -> Tuple[int, int]:
+def choose_window(span_i: float, span_j: float, margin: float = 6.0,
+                  O: int | None = None) -> Tuple[int, int]:
     """Smallest ladder window whose fit bound covers the given per-tile
     footprint spans (host-side floats from ``shearwarp.warp_window_hint``).
     ``margin`` absorbs the hint's corner-sampling underestimate; the
     in-program ``warp_fit_starts`` check (with the chosen window) remains
-    the correctness gate — a wrong hint only costs the gather fallback."""
+    the correctness gate — a wrong hint only costs the gather fallback.
+
+    ``O``: intermediate-plane resolution. When given, mirrors
+    ``warp_fit_starts``'s exact bound — the window is clamped to the axis
+    (``min(win, O)``) and the 8/128 DMA alignment slack is dropped when the
+    window spans the whole axis (start is then always 0) — so the hint is
+    no more conservative than the device-side gate."""
     for wi, wj in WINDOW_LADDER:
-        if span_i + margin < wi - 1 - 8 and span_j + margin < wj - 1 - 128:
+        w_i = wi if O is None else min(wi, O)
+        w_j = wj if O is None else min(wj, O)
+        slack_i = 8 if (O is None or w_i < O) else 0
+        slack_j = 128 if (O is None or w_j < O) else 0
+        if (span_i + margin <= w_i - 1 - slack_i
+                and span_j + margin <= w_j - 1 - slack_j):
             return wi, wj
     return WINDOW_LADDER[-1]
 

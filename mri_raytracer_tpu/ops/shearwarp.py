@@ -965,7 +965,7 @@ def warp_window_hint(basis, p, dims_perm, axis, out_res, width, height,
                         np.minimum(m[1:, :-1], m[1:, 1:]))
         return float((hi - lo).max()) + 1.0
 
-    return choose_window(span(i_map), span(j_map))
+    return choose_window(span(i_map), span(j_map), O=out_res)
 
 
 def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
@@ -973,7 +973,7 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                           use_pallas, composite, z_offset=None,
                           nk_global=None, ab_offset=None,
                           inplane_global=None, warp=True,
-                          _unsafe_coexist=False):
+                          _unsafe_coexist=False, echo=None):
     basis = unpack_basis(basis_vec)
     geom = content_geometry(basis, p, mixed_s.shape, axis, out_res, width,
                             height, z_offset, nk_global, ab_offset,
@@ -983,7 +983,8 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
 
         C, T = sweep_composite_pallas(mixed_s, seg_s, pred_s, geom, p, axis,
                                       out_res, use_gamma, use_clip,
-                                      z_offset=z_offset, nk_global=nk_global)
+                                      z_offset=z_offset, nk_global=nk_global,
+                                      echo=echo)
         # NEVER put the Pallas warp kernel in the same program as the fused
         # compositor: even gated behind lax.cond with the gather branch
         # SELECTED, its mere presence in the compiled program corrupts the
@@ -1004,7 +1005,9 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                                supersample, use_gamma, use_clip,
                                z_offset=z_offset, nk_global=nk_global)
     if not warp:
-        return C
+        # With echo instrumentation the debug channel (T's slot) is the
+        # payload (e.g. executed-plane counts for utils/arith).
+        return T if echo else C
     return warp_to_screen(C, geom, basis, axis, width, height, p.bg_color,
                           use_pallas=use_pallas)
 
@@ -1015,20 +1018,20 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                                     "use_gamma", "use_clip", "use_pallas",
                                     "composite", "nk_global",
                                     "inplane_global", "warp",
-                                    "_unsafe_coexist"))
+                                    "_unsafe_coexist", "echo"))
 def _render_prepared(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                      height, out_res, supersample, has_seg, has_pred,
                      use_gamma=True, use_clip=True, use_pallas=False,
                      composite="scan", z_offset=None, nk_global=None,
                      ab_offset=None, inplane_global=None, warp=True,
-                     _unsafe_coexist=False):
+                     _unsafe_coexist=False, echo=None):
     return _render_prepared_impl(mixed_s, seg_s if has_seg else None,
                                  pred_s if has_pred else None, basis_vec, p,
                                  axis, width, height, out_res, supersample,
                                  use_gamma, use_clip, use_pallas, composite,
                                  z_offset, nk_global, ab_offset,
                                  inplane_global, warp=warp,
-                                 _unsafe_coexist=_unsafe_coexist)
+                                 _unsafe_coexist=_unsafe_coexist, echo=echo)
 
 
 @functools.partial(jax.jit,
@@ -1057,7 +1060,8 @@ def warp_program(C, basis_vec, p, axis, width, height, out_res, dims_local,
 def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                     out_res, supersample=1, use_gamma=True, use_clip=True,
                     composite="scan", z_offset=None, nk_global=None,
-                    ab_offset=None, inplane_global=None, warp_win=None):
+                    ab_offset=None, inplane_global=None, warp_win=None,
+                    echo=None):
     """Per-frame renderer over cached prepared volumes (the interactive path).
 
     ``z_offset``/``nk_global``: slab contract (empty-space k-crop or sharded
@@ -1070,7 +1074,14 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
     ``warp_win``: static Pallas warp-window variant for the split pipeline
     (pallas_warp.WINDOW_LADDER; None = ladder max) — callers pick it per
     frame via ``warp_window_hint``.
+    ``echo``: fused-compositor instrumentation channel
+    (pallas_composite ``echo``; e.g. 'planes' = executed-plane counts for
+    utils/arith) — returns the (out_res, out_res) echo payload INSTEAD of
+    an image. Fused Pallas path only.
     """
+    if echo is not None and composite != "pallas":
+        raise ValueError("echo instrumentation requires the fused "
+                         "Pallas compositor")
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
     z_off = None if z_offset is None else jnp.asarray(z_offset, jnp.float32)
@@ -1096,7 +1107,9 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                              supersample, seg_s is not None,
                              pred_s is not None, use_gamma, use_clip,
                              False, composite, z_off, nk_global, ab,
-                             inplane_global, warp=False)
+                             inplane_global, warp=False, echo=echo)
+        if echo is not None:
+            return C  # echo payload, not an image — skip the warp
         return warp_program(C, basis_vec, p, axis, width, height, out_res,
                             tuple(int(d) for d in mixed_s.shape), z_off,
                             nk_global, ab, inplane_global, use_pallas=True,

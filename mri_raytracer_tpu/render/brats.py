@@ -106,6 +106,78 @@ class BratsRenderer:
         return (max(0, lo - guard) // 16) * 16, \
             min(n, -(-(hi + guard) // 16) * 16)
 
+    def _geometry(self, basis, params):
+        """Host-side per-frame geometry (shared by the render path and
+        ``frame_stats``): dominant sweep axis, content crop per permuted
+        dim, and the intermediate resolution.
+
+        Content crop: exact whenever transfer(0) == 0 (wl >= ww/2), i.e.
+        empty voxels emit nothing. Planes outside the occupied k-range are
+        skipped (slab contract) and the in-plane crop + shrunk intermediate
+        resolution spend rays only on the content box's projection, at >=
+        the uncropped sampling density. Bounds pad to 16 for stable
+        compiled shapes; the round-up of out_res to 128 only ever RAISES
+        the sampling density."""
+        from mri_raytracer_tpu.ops import shearwarp
+
+        axis = shearwarp.dominant_axis(basis)
+        order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
+        dims_perm = [int(self.mods.shape[1 + o]) for o in order]
+        nk, na_g, nb_g = dims_perm
+        crop_ok = (float(np.asarray(params.wl))
+                   >= 0.5 * float(np.asarray(params.ww)))
+        if crop_ok:
+            crops = [self._crop16(*self._bbox[o], dims_perm[i])
+                     for i, o in enumerate(order)]
+        else:
+            crops = [(0, n) for n in dims_perm]
+        (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
+        base_res = self.sweep_res or max(self.width, self.height)
+        inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
+        if inplane_cropped:
+            frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
+            out_res = min(base_res,
+                          max(128, -(-int(base_res * frac) // 128) * 128))
+        else:
+            out_res = base_res
+        return axis, order, dims_perm, crops, out_res, inplane_cropped
+
+    def frame_stats(self, basis, params) -> dict:
+        """Static per-frame arithmetic geometry for accounting
+        (utils/arith.py): sweep axis, planes crossed (= max march steps per
+        ray), intermediate resolution, crop extents, and the warp window
+        the footprint hint selects. Pure host math — no device work."""
+        from mri_raytracer_tpu.ops import shearwarp
+        from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+        axis, order, dims_perm, crops, out_res, inplane_cropped = \
+            self._geometry(basis, params)
+        (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
+        win = WINDOW_LADDER[-1]
+        if self.backend == "sweep_pallas":
+            try:
+                win = shearwarp.warp_window_hint(
+                    basis, params, tuple(dims_perm), axis, out_res,
+                    self.width, self.height,
+                    content_lo=(k_lo, a_lo, b_lo),
+                    content_hi=(k_hi, a_hi, b_hi))
+            except Exception:
+                pass
+        return {
+            "axis": axis,
+            "out_res": out_res,
+            # n_planes the kernel loops over = cropped k extent + 1
+            "planes": (k_hi - k_lo) + 1,
+            "crop_k": (k_lo, k_hi),
+            "crop_a": (a_lo, a_hi),
+            "crop_b": (b_lo, b_hi),
+            "Na": a_hi - a_lo,
+            "Nb": b_hi - b_lo,
+            "warp_win": tuple(win),
+            "has_seg": self.seg is not None,
+            "has_pred": self.pred is not None,
+        }
+
     @staticmethod
     def _params_key(params) -> tuple:
         """Value-based cache key: id() of transient pytrees is not stable
@@ -122,7 +194,8 @@ class BratsRenderer:
 
             composite = "pallas" if self.backend == "sweep_pallas" else "scan"
 
-            def call(mods, seg, pred, basis, params, warp_win_override=None):
+            def call(mods, seg, pred, basis, params, warp_win_override=None,
+                     echo=None):
                 # Cache the device copy of params + static flags per params
                 # VALUE: an unchanged params pytree costs ZERO per-frame
                 # host->device transfers (the camera is one packed (13,)
@@ -137,23 +210,9 @@ class BratsRenderer:
                 _, p_dev, use_gamma, use_clip = self._p_cache
                 # Blended+permuted volumes are camera-independent: cache per
                 # (axis, crop, blend weights); invalidated by set_prediction.
-                axis = shearwarp.dominant_axis(basis)
-                # Content crop: exact whenever transfer(0) == 0 (wl >= ww/2),
-                # i.e. empty voxels emit nothing. Planes outside the occupied
-                # k-range are skipped (slab contract) and the in-plane crop +
-                # shrunk intermediate resolution spend rays only on the
-                # content box's projection, at >= the uncropped sampling
-                # density. Bounds pad to 16 for stable compiled shapes.
-                order = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis]
-                dims_perm = [int(self.mods.shape[1 + o]) for o in order]
+                (axis, order, dims_perm, crops, out_res,
+                 inplane_cropped) = self._geometry(basis, params)
                 nk, na_g, nb_g = dims_perm
-                crop_ok = (float(np.asarray(params.wl))
-                           >= 0.5 * float(np.asarray(params.ww)))
-                if crop_ok:
-                    crops = [self._crop16(*self._bbox[o], dims_perm[i])
-                             for i, o in enumerate(order)]
-                else:
-                    crops = [(0, n) for n in dims_perm]
                 (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
                 blend_key = (axis, tuple(crops),
                              np.asarray(params.vol_enabled).tobytes(),
@@ -182,18 +241,6 @@ class BratsRenderer:
                     prep = (vols, devs)
                     self._prep_cache[blend_key] = prep
                 (mixed_s, seg_s, pred_s), (z_dev, ab_dev) = prep
-                # Shrink the intermediate to the content footprint at the
-                # same samples-per-screen-pixel budget (the round-up to 128
-                # only ever RAISES the sampling density).
-                base_res = self.sweep_res or max(self.width, self.height)
-                inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
-                if inplane_cropped:
-                    frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
-                    out_res = min(base_res,
-                                  max(128, -(-int(base_res * frac) // 128)
-                                      * 128))
-                else:
-                    out_res = base_res
                 slab = (k_lo, k_hi) != (0, nk)
                 # Host-side analytic footprint bound -> smallest compiled
                 # warp-window variant (pallas_warp.WINDOW_LADDER): the warp
@@ -211,7 +258,14 @@ class BratsRenderer:
                             content_lo=(k_lo, a_lo, b_lo),
                             content_hi=(k_hi, a_hi, b_hi))
                     except Exception:
-                        warp_win = None  # ladder max
+                        # Fall back to the ladder-max TUPLE, not None: both
+                        # select the same window, but they are distinct
+                        # static jit cache keys, and warmup precompiles the
+                        # ladder tuples — a None here would trigger a fresh
+                        # warp-program compile mid-orbit.
+                        from mri_raytracer_tpu.ops.pallas_warp import \
+                            WINDOW_LADDER
+                        warp_win = WINDOW_LADDER[-1]
                 return shearwarp.render_prepared(
                     mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
                     self.height, out_res, supersample=self.supersample,
@@ -221,7 +275,7 @@ class BratsRenderer:
                     nk_global=nk if slab else None,
                     ab_offset=ab_dev if inplane_cropped else None,
                     inplane_global=(na_g, nb_g) if inplane_cropped else None,
-                    warp_win=warp_win)
+                    warp_win=warp_win, echo=echo)
         else:
             fn = raymarch_xla.render_brats
 
@@ -261,13 +315,30 @@ class BratsRenderer:
         self._refresh_bbox()  # pred content may extend the crop box
 
     def render(self, basis: CameraBasis, params: BratsRenderParams,
-               _warp_win=None) -> jnp.ndarray:
+               _warp_win=None, _echo=None) -> jnp.ndarray:
         """``_warp_win``: internal — force a warp-window ladder variant
-        (warmup precompilation); production frames use the per-frame hint."""
+        (warmup precompilation); production frames use the per-frame hint.
+        ``_echo``: internal — fused-compositor instrumentation channel
+        (returns the echo payload instead of an image; see
+        ``executed_planes``)."""
         if self.backend in ("sweep", "sweep_pallas"):
             return self._call(self.mods, self.seg, self.pred, basis, params,
-                              warp_win_override=_warp_win)
+                              warp_win_override=_warp_win, echo=_echo)
         return self._call(self.mods, self.seg, self.pred, basis, params)
+
+    def executed_planes(self, basis: CameraBasis,
+                        params: BratsRenderParams) -> np.ndarray:
+        """EXACT per-pixel executed-plane counts for this frame, from the
+        fused compositor's 'planes' instrumentation (echo channel): the
+        static plane budget (``frame_stats['planes']``) is an upper bound —
+        per-tile content culling and whole-tile early termination skip
+        planes — and this measures what actually ran. Used by utils/arith
+        for FLOPs-per-frame / MFU accounting; compiles one extra
+        (instrumented) program variant. Fused Pallas backend only."""
+        if self.backend != "sweep_pallas":
+            raise RuntimeError("executed_planes requires the fused Pallas "
+                               f"backend (current: {self.backend})")
+        return np.asarray(self.render(basis, params, _echo="planes"))
 
     def render_numpy(self, basis: CameraBasis, params: BratsRenderParams) -> np.ndarray:
         return np.asarray(self.render(basis, params))

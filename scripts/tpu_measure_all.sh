@@ -37,6 +37,13 @@ run() {  # run <timeout-sec> <name> <cmd...>
   return $rc
 }
 
+# Refuse to bench on a red test suite (runs on CPU; ~3 min): a snapshot
+# whose own tests fail must not ship measurements (round-4 lesson).
+if ! run 1200 pytest env JAX_PLATFORMS=cpu python -m pytest tests -q; then
+  echo "[watchdog] TEST SUITE RED — aborting measurements" >> "$LOG"
+  exit 1
+fi
+
 # A pose-check failure means the production pipeline is corrupted (the
 # 40.7 dB kernel-coexistence class) — abort instead of recording a full
 # set of corrupted measurements.

@@ -102,10 +102,48 @@ def test_warp_pallas_window_ladder(win):
 
 
 def test_choose_window_ladder():
+    """Ladder *properties*, not hard-coded tiers — the ladder may be
+    re-sized in a future round without this test going stale, as long as
+    the invariants the renderer relies on hold."""
     from mri_raytracer_tpu.ops.pallas_warp import choose_window, WINDOW_LADDER
 
+    # Monotone, 8/128-aligned rungs.
+    for (ai, aj), (bi, bj) in zip(WINDOW_LADDER, WINDOW_LADDER[1:]):
+        assert ai <= bi and aj <= bj
+    for wi, wj in WINDOW_LADDER:
+        assert wi % 8 == 0 and wj % 128 == 0
+
+    # Tiny footprints select the smallest rung.
     assert choose_window(32, 32) == WINDOW_LADDER[0]
-    assert choose_window(97, 89) == (112, 256)  # orbit worst tile
-    assert choose_window(131, 128) == WINDOW_LADDER[-1]  # exact diagonal
-    # beyond any window: ladder max (the in-program check falls back)
+    # The measured orbit worst tile (97 x 89 per scripts/diag_warp_spans.py)
+    # must NOT be pushed to the ladder max — that is the whole point of the
+    # smaller rung (2.1x fewer matmul FLOPs at every bench pose but the
+    # exact diagonal).
+    assert choose_window(97, 89) != WINDOW_LADDER[-1] or len(WINDOW_LADDER) == 1
+    # The exact-diagonal footprint (131 x 128) needs the max window, and it
+    # must still fit the max window's fit bound.
+    wi, wj = choose_window(131, 128)
+    assert (wi, wj) == WINDOW_LADDER[-1]
+    assert 131 < wi - 1 - 8 and 128 < wj - 1 - 128
+    # Beyond any window: ladder max (the in-program check falls back).
     assert choose_window(500, 500) == WINDOW_LADDER[-1]
+    # The chosen rung always satisfies the device-side fit bound for the
+    # hinted span (margin included), whenever any rung can.
+    for span in [(10, 10), (60, 60), (97, 89), (103, 120), (131, 128)]:
+        wi, wj = choose_window(*span)
+        if span[0] + 6 <= WINDOW_LADDER[-1][0] - 9:
+            assert span[0] + 6 <= wi - 1 - 8
+            assert span[1] + 6 <= wj - 1 - 128
+
+
+def test_choose_window_whole_axis_drops_slack():
+    """With O given, a window spanning the whole axis drops the alignment
+    slack — mirrors warp_fit_starts — so small out_res picks a small rung
+    the O-less hint would (needlessly) reject."""
+    from mri_raytracer_tpu.ops.pallas_warp import choose_window, WINDOW_LADDER
+
+    w0 = WINDOW_LADDER[0]
+    # Span that only fits rung 0 because the j-window covers the whole axis.
+    span_j = w0[1] - 130  # fails "span + 6 <= wj - 1 - 128" without O
+    assert choose_window(10.0, float(span_j)) != w0 or len(WINDOW_LADDER) == 1
+    assert choose_window(10.0, float(span_j), O=w0[1]) == w0
