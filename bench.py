@@ -125,11 +125,56 @@ def main() -> None:
     except Exception as e:  # quality sanity must not break the bench metric
         print(f"[bench] PSNR check failed: {e}", file=sys.stderr)
 
+    # Arithmetic accounting (the reference protocol's steps/ray overlay,
+    # docs/showcase-plan.md:7, plus TPU-native FLOPs/MFU — utils/arith):
+    # model MXU FLOPs/frame averaged over poses along the timed orbit, with
+    # the in-kernel stage made EXACT by the compositor's executed-plane
+    # instrumentation (echo='planes').
+    acct = None
+    try:
+        from mri_raytracer_tpu.utils import arith
+
+        cam_a = OrbitalCamera(radius=rp.default_camera_radius(p, VOL),
+                              theta=0.6, phi=1.2)
+        per_pose = []
+        for _ in range(5):
+            cam_a.orbit(0.45, 0.02)
+            basis = cam_a.basis()
+            stats = renderer.frame_stats(basis, p)
+            counts = renderer.executed_planes(basis, p)
+            per_pose.append(arith.frame_flops(stats, SIZE, SIZE,
+                                              executed_planes=counts))
+        fl = float(np.mean([f["flops_total"] for f in per_pose]))
+        m = arith.mfu(fl, fps)
+        acct = {
+            "flops_per_frame": round(fl, 0),
+            "tflops_per_s": round(m["tflops_per_s"], 2),
+            "mfu": round(m["mfu"], 4),
+            "peak_tflops_bf16": m["peak_tflops"],
+            "steps_per_ray_eff": round(float(np.mean(
+                [f["steps_per_ray_eff"] for f in per_pose])), 1),
+            "steps_per_ray_max": round(float(np.mean(
+                [f["steps_per_ray_max"] for f in per_pose])), 1),
+            "stage2_exact": all(f["stage2_exact"] for f in per_pose),
+        }
+        print(f"[bench] arith: {fl / 1e9:.1f} GFLOP/frame "
+              f"(stage1 {np.mean([f['flops_stage1'] for f in per_pose]) / 1e9:.1f} "
+              f"+ kernel {np.mean([f['flops_stage2'] for f in per_pose]) / 1e9:.1f} "
+              f"+ warp {np.mean([f['flops_warp'] for f in per_pose]) / 1e9:.1f}) "
+              f"-> {m['tflops_per_s']:.1f} TFLOP/s at {fps:.1f} fps, "
+              f"MFU {100 * m['mfu']:.1f}% of {m['peak_tflops']:.0f} bf16 peak; "
+              f"steps/ray eff {acct['steps_per_ray_eff']} "
+              f"(max {acct['steps_per_ray_max']})", file=sys.stderr)
+    except Exception as e:  # accounting must never break the bench metric
+        print(f"[bench] arith accounting failed: {e}", file=sys.stderr)
+
     rec = {"metric": "render_fps_1024_256", "value": round(fps, 3),
            "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}
     if worst is not None:
         rec.update(psnr_min_db=round(worst, 2), psnr_min_pose=worst_pose,
                    psnr_median_db=round(med, 2))
+    if acct is not None:
+        rec.update(acct)
     print(json.dumps(rec))
 
 

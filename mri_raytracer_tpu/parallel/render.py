@@ -32,8 +32,13 @@ def build_sharded_renderer(mesh: Mesh, vol_dims, width: int, height: int,
     (host-chosen) sweep permutation; pass via functools.partial per frame."""
     out_res_ = out_res or max(width, height)
     n_space = mesh.shape["space"]
-    assert out_res_ % n_space == 0, "out_res must divide by the space axis"
-    cols = out_res_ // n_space
+    # Pad-and-crop for non-divisible out_res: each device composites
+    # ceil(out_res / n) columns; the padded tail columns (clamped geometry,
+    # garbage values) are cropped after the all_gather, BEFORE the warp, so
+    # they never touch the image. Divisible out_res keeps the exact old
+    # path (pad == 0).
+    cols = -(-out_res_ // n_space)
+    pad = cols * n_space - out_res_
 
     def make_axis_fn(axis: int):
         def body(mods, seg, pred, basis_vec, p):
@@ -48,16 +53,29 @@ def build_sharded_renderer(mesh: Mesh, vol_dims, width: int, height: int,
 
             idx = jax.lax.axis_index("space")
             j0 = idx * cols
+            if pad:
+                # Edge-pad the per-pixel maps so every device slices a full
+                # stripe; padded columns re-render the last real column.
+                def padded(m):
+                    return jnp.pad(m, ((0, 0), (0, pad)), mode="edge")
+
+                vmag_p = padded(geom.vmag)
+                dt_p = padded(geom.dt_map)
+                te_p = padded(geom.t_entry)
+            else:
+                vmag_p, dt_p, te_p = geom.vmag, geom.dt_map, geom.t_entry
             geom_stripe = geom._replace(
                 b0=geom.b0 + j0.astype(jnp.float32) * geom.db,
-                vmag=jax.lax.dynamic_slice_in_dim(geom.vmag, j0, cols, 1),
-                dt_map=jax.lax.dynamic_slice_in_dim(geom.dt_map, j0, cols, 1),
-                t_entry=jax.lax.dynamic_slice_in_dim(geom.t_entry, j0, cols,
-                                                     1))
+                vmag=jax.lax.dynamic_slice_in_dim(vmag_p, j0, cols, 1),
+                dt_map=jax.lax.dynamic_slice_in_dim(dt_p, j0, cols, 1),
+                t_entry=jax.lax.dynamic_slice_in_dim(te_p, j0, cols, 1))
             C, T = sw.sweep_composite(mixed_s, seg_s, pred_s, geom_stripe, p,
                                       axis, out_res_, 1, out_cols=cols)
-            # Assemble the full intermediate over ICI, warp once per device.
+            # Assemble the full intermediate over ICI, crop the padded tail,
+            # warp once per device.
             C_full = jax.lax.all_gather(C, "space", axis=1, tiled=True)
+            if pad:
+                C_full = C_full[:, :out_res_]
             return sw.warp_to_screen(C_full, geom, basis, axis, width, height,
                                      p.bg_color)
 

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Inverse rendering at credible scale (VERDICT r4 #5): fit an INR from
+rendered 2-D multi-modal views only, via the differentiable marcher +
+inverse-CDF importance sampling, and report recovered-view PSNR + wall time.
+
+Protocol (reference ``docs/DifferentiableRendering.md:133-148``,
+``docs/Goals.md:257``): >= 16 train views at 256^2 of a 64^3 multi-modal
+volume; success = >= 30 dB recovered-view PSNR. Writes
+docs/FIT_FROM_VIEWS.md + docs/fit_from_views.json (+ a PNG pair).
+"""
+import argparse
+import json
+import pathlib as _pl
+import sys
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="64,64,64")
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--held-views", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--batch-rays", type=int, default=4096)
+    ap.add_argument("--n-coarse", type=int, default=48)
+    ap.add_argument("--n-fine", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from mri_raytracer_tpu.train import fit_views
+
+    shape = tuple(int(x) for x in args.shape.split(","))
+    print(f"[fit] backend={jax.default_backend()} shape={shape} "
+          f"res={args.res} views={args.views} steps={args.steps}")
+    rec = fit_views.run(shape=shape, res=args.res,
+                        n_train_views=args.views,
+                        n_held_views=args.held_views, steps=args.steps,
+                        batch_rays=args.batch_rays, n_coarse=args.n_coarse,
+                        n_fine=args.n_fine, seed=args.seed)
+
+    out_dir = _pl.Path(args.out or
+                       _pl.Path(__file__).resolve().parents[1] / "docs")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    imgs = {k: rec.pop(k) for k in list(rec) if k.startswith("_")}
+    (out_dir / "fit_from_views.json").write_text(json.dumps(rec, indent=1))
+
+    ok = rec["psnr_train_mean"] >= 30.0
+    md = [
+        "# Inverse rendering from views — INR fit "
+        f"({'PASS' if ok else 'FAIL'})",
+        "",
+        f"Backend: {jax.default_backend()}. Fit an RFF+MLP radiance field "
+        f"({rec['n_params']} params) from {rec['n_train_views']} rendered "
+        f"{rec['res']}x{rec['res']} multi-modal views (color channels = "
+        f"t1n/t1c/t2w emissions) of a {shape[0]}^3 synthetic volume, via "
+        "`ops/diffrender` (manual O(N) compositing adjoint) + "
+        "`ops/importance` inverse-CDF coarse-to-fine sampling "
+        f"({rec['n_coarse']}->{rec['n_fine']} samples/ray), "
+        f"{rec['steps']} Adam steps x {rec['batch_rays']} rays.",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| recovered-view PSNR (train, mean/min) | "
+        f"{rec['psnr_train_mean']:.2f} / {rec['psnr_train_min']:.2f} dB |",
+        f"| recovered-view PSNR (HELD-OUT, mean/min) | "
+        f"{rec['psnr_heldout_mean']:.2f} / {rec['psnr_heldout_min']:.2f} dB |",
+        f"| wall time: render targets | {rec['wall_s_targets']} s |",
+        f"| wall time: fit | {rec['wall_s_fit']} s |",
+        f"| wall time: recovered renders | {rec['wall_s_render']} s |",
+        "",
+        f"Success bar (>= 30 dB recovered-view PSNR): "
+        f"{'MET' if ok else 'NOT MET'}.",
+        "",
+        "Run: `python scripts/fit_from_views.py` "
+        "(synthetic data; no BraTS download needed).",
+    ]
+    (out_dir / "FIT_FROM_VIEWS.md").write_text("\n".join(md) + "\n")
+
+    try:
+        from PIL import Image
+        import numpy as np
+
+        pair = np.concatenate([imgs["_targets"][0], imgs["_recovered"][0]],
+                              axis=1)
+        (out_dir / "img").mkdir(parents=True, exist_ok=True)
+        Image.fromarray((np.clip(pair, 0, 1) * 255).astype("uint8")).save(
+            out_dir / "img" / "fit_from_views_pair.png")
+    except Exception as e:
+        print(f"[fit] PNG skipped: {e}")
+
+    print(f"[fit] train PSNR {rec['psnr_train_mean']:.2f} dB "
+          f"(min {rec['psnr_train_min']:.2f}), held-out "
+          f"{rec['psnr_heldout_mean']:.2f} dB; fit {rec['wall_s_fit']}s "
+          f"-> {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

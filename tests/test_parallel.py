@@ -149,3 +149,116 @@ def test_volume_sharded_render_matches_single_device(dataset):
         img_single = np.asarray(sw.warp_to_screen(
             C, geom, basis, axis, 64, 64, p.bg_color))
         np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
+
+
+def test_sharded_render_nondivisible_out_res():
+    """Pad-and-crop: out_res that does NOT divide by the space axis still
+    matches the single-device render exactly (padded tail columns are
+    composited on clamped geometry and cropped before the warp)."""
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    SHAPE = (16, 16, 12)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=7)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    seg_j = jnp.asarray(seg.astype(np.int32))
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.9, phi=1.0)
+
+    mesh = mesh_mod.make_mesh(data=1, space=4)
+    out_res = 70  # 70 / 4 = 17.5 -> cols=18, pad=2
+    render = prender.build_sharded_renderer(mesh, SHAPE, 64, 64,
+                                            out_res=out_res, has_seg=True)
+    img_sharded = np.asarray(render(disp, seg_j, None, cam.basis(), p))
+    img_single = np.asarray(sw.render_brats(disp, seg_j, None, cam.basis(),
+                                            p, 64, 64, out_res=out_res))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
+
+
+def test_combined_data_space_mesh(dataset, tmp_path):
+    """One 2x4 data x space mesh serving BOTH subsystems (VERDICT r4 #7):
+    the DP train step shards grads over 'data' (replicating over 'space')
+    and the sharded renderer stripes over 'space' (replicating over 'data')
+    — exact-match semantics hold on both."""
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.config import LossConfig, ModelConfig, OptimConfig
+    from mri_raytracer_tpu.data import brats, sampling, synthetic
+    from mri_raytracer_tpu.models.api import build_model
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.parallel import training as ptrain
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+    from mri_raytracer_tpu.train import optimizers
+
+    mesh = mesh_mod.make_mesh(data=2, space=4)
+
+    # --- DP train step over axis 'data' of the combined mesh
+    cfg = ModelConfig(hidden_dims=(16, 16), fourier_freqs=2, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optimizers.build_optimizer(OptimConfig(), total_steps=10)
+    opt_state = optimizer.init(params)
+    sampler = sampling.make_sampler("uniform", 32)
+    step = ptrain.build_dp_train_step(model, LossConfig(), optimizer,
+                                      sampler, accum_steps=2,
+                                      data_parallel=2, mesh=mesh)
+    rng = np.random.default_rng(0)
+    mods_pool = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 8, 8))
+                            .astype(np.float32))
+    segs_pool = jnp.asarray(rng.integers(0, 4, (2, 8, 8, 8))
+                            .astype(np.int32))
+    params, opt_state, metrics = step(params, opt_state,
+                                      jax.random.PRNGKey(1), mods_pool,
+                                      segs_pool, jnp.int32(1))
+    assert np.isfinite(float(metrics.loss))
+
+    # --- sharded render over axis 'space' of the SAME mesh
+    SHAPE = (16, 16, 12)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=2)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    seg_j = jnp.asarray(seg.astype(np.int32))
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.1)
+    render = prender.build_sharded_renderer(mesh, SHAPE, 64, 64, out_res=64,
+                                            has_seg=True)
+    img_sharded = np.asarray(render(disp, seg_j, None, cam.basis(), p))
+    img_single = np.asarray(sw.render_brats(disp, seg_j, None, cam.basis(),
+                                            p, 64, 64, out_res=64))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
+
+
+def test_sharded_render_realistic_shape():
+    """64^3 volume at 128^2 output (VERDICT r4 #7: halo/padding classes that
+    only appear at non-toy extents), exact match vs single device."""
+    import jax.numpy as jnp
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    SHAPE = (64, 64, 64)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=11)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    seg_j = jnp.asarray(seg.astype(np.int32))
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.85, phi=0.85)  # near-diagonal (worst class)
+
+    mesh = mesh_mod.make_mesh(data=1, space=8)
+    render = prender.build_sharded_renderer(mesh, SHAPE, 128, 128,
+                                            out_res=128, has_seg=True)
+    img_sharded = np.asarray(render(disp, seg_j, None, cam.basis(), p))
+    img_single = np.asarray(sw.render_brats(disp, seg_j, None, cam.basis(),
+                                            p, 128, 128, out_res=128))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)
