@@ -85,8 +85,15 @@ def main() -> None:
         dt = time.perf_counter() - t0
         rates.append(ITERS / dt)
     fps = float(np.median(rates))
+    # Bootstrap 95% CI of the median across batches (the README headline
+    # cites exactly this number + CI; VERDICT r4 #4).
+    rng = np.random.default_rng(0)
+    boots = np.median(rng.choice(rates, size=(2000, len(rates))), axis=1)
+    fps_ci = [float(np.percentile(boots, 2.5)),
+              float(np.percentile(boots, 97.5))]
 
     print(f"[bench] fps per batch: {[round(r, 2) for r in rates]} "
+          f"median {fps:.1f} [95% CI {fps_ci[0]:.1f}, {fps_ci[1]:.1f}] "
           f"backend_kind={renderer.backend}", file=sys.stderr)
 
     # North-star quality half (BASELINE.md): PSNR of the benched backend vs
@@ -169,7 +176,8 @@ def main() -> None:
         print(f"[bench] arith accounting failed: {e}", file=sys.stderr)
 
     rec = {"metric": "render_fps_1024_256", "value": round(fps, 3),
-           "unit": "fps", "vs_baseline": round(fps / 30.0, 3)}
+           "unit": "fps", "vs_baseline": round(fps / 30.0, 3),
+           "fps_ci95": [round(fps_ci[0], 2), round(fps_ci[1], 2)]}
     if worst is not None:
         rec.update(psnr_min_db=round(worst, 2), psnr_min_pose=worst_pose,
                    psnr_median_db=round(med, 2))

@@ -295,11 +295,12 @@ def predict_field(model: ModelBundle, params, modsz_s: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("model", "axis", "width",
                                              "height", "out_res", "has_seg",
-                                             "pred_stride"))
+                                             "pred_stride", "pred_kstride"))
 def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
                         model: ModelBundle, axis: int, width: int,
                         height: int, out_res: int, has_seg: bool,
-                        pred_stride: int = 1, geom=None, field=None):
+                        pred_stride: int = 1, pred_kstride: int = 1,
+                        geom=None, field=None):
     basis = unpack_basis(basis_vec)
     M = mods_disp.shape[0]
     mixed = blend_modalities(mods_disp, p.vol_enabled[:M], p.vol_weight[:M])
@@ -334,7 +335,7 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
     # argmax labels on near-tie logits.)
     if field is None:
         field = predict_field(model, params, modsz_s, geom, p, axis, out_res,
-                              pred_stride)
+                              pred_stride, kstride=pred_kstride)
 
     def body(carry, m):
         C, T, started = carry
@@ -382,9 +383,11 @@ def _render_neural_axis(mods_disp, mods_z, seg, params, basis_vec, p,
         # --- mode-2 INR overlay: plane m's precomputed stride-S label
         # field (sweep order matches the scan index m), nearest-replicated
         # to full resolution — exactly the fused kernel's floor(i/S)
-        # row/column upsample.
+        # row/column upsample and, for pred_kstride > 1, its floor(m/K)
+        # sweep-row upsample (see ``predict_field``).
         S = pred_stride
-        pred = jax.lax.dynamic_index_in_dim(field, m, 0, False)
+        pred = jax.lax.dynamic_index_in_dim(field, m // pred_kstride, 0,
+                                            False)
         if S > 1:
             pred = jnp.repeat(jnp.repeat(pred, S, axis=0), S, axis=1)
         rgba = sw._lut_rgba(pred.astype(jnp.float32), p.lut)
@@ -622,7 +625,8 @@ class NeuralBratsRenderer:
                                        self.model, self.params, basis, p,
                                        self.width, self.height,
                                        out_res=self.sweep_res,
-                                       pred_stride=self.stride)
+                                       pred_stride=self.stride,
+                                       pred_kstride=self.kstride)
         mixed_s, modsz_s, seg_s, crops, dims_perm, devs = \
             self._prepare(axis, p)
         (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
@@ -686,15 +690,18 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
                         params, basis: CameraBasis, p: BratsRenderParams,
                         width: int = 512, height: int = 512,
                         out_res: Optional[int] = None,
-                        pred_stride: int = 1, geom=None,
-                        field=None) -> jnp.ndarray:
+                        pred_stride: int = 1, pred_kstride: int = 1,
+                        geom=None, field=None) -> jnp.ndarray:
     """Mode-2 render: intensity + GT seg + LIVE INR prediction overlay.
 
     mods_disp: display-normalized volumes (percentile) for the emission;
     mods_zscore: z-scored volumes matching the INR's training normalization
     (the dual-normalization contract, SURVEY §7.3). ``pred_stride``: evaluate
     the INR on a strided in-plane grid (the overlay is nearest-sampled;
-    stride 2 quarters the MLP cost).
+    stride 2 quarters the MLP cost). ``pred_kstride``: evaluate every K-th
+    sweep plane (nearest-replicated along the sweep) — same semantics as the
+    fused Pallas path, so the scan backend certifies the SAME operating
+    point off-TPU.
     """
     out_res = out_res or max(width, height)
     axis = sw.dominant_axis(basis)
@@ -703,4 +710,4 @@ def render_brats_neural(mods_disp: jnp.ndarray, mods_zscore: jnp.ndarray,
         mods_disp, mods_zscore, seg if seg is not None else zeros, params,
         basis.pack() if isinstance(basis, CameraBasis) else basis, p, model,
         axis, width, height, out_res, seg is not None, pred_stride,
-        geom=geom, field=field)
+        pred_kstride, geom=geom, field=field)

@@ -92,12 +92,31 @@ def main():
     rend_seg.warmup(p)
     rend_no.warmup(p_ns)
 
+    # Full overlay ladder at bench scale: plain / +seg / +seg+pred(baked).
+    # The round-4 "54-55 fps" point had BOTH overlays on (bench_neural_march
+    # p = show_seg=True, show_pred=True), so G is the config the VERDICT #3
+    # target ("overlay-on >= 80 fps") is scored on.
+    pred = np.roll(seg, 5, axis=0).astype(np.int32)  # overlay-shaped labels
+    p_sp = rp.default_render_params(VOL, show_seg=True, show_pred=True)
+    rend_sp = BratsRenderer(disp, seg_j, jnp.asarray(pred), width=SIZE,
+                            height=SIZE)
+    rend_sp.warmup(p_sp)
+
     # A/B interleaved
     a = time_fn(lambda: rend_seg.render(basis, p), "A: fused render WITH seg")
     b = time_fn(lambda: rend_no.render(basis, p_ns), "B: without seg")
     a2 = time_fn(lambda: rend_seg.render(basis, p), "A2: with seg (retime)")
-    print(f"[diag] overlay cost = {min(a, a2) - b:+.2f} ms "
-          f"(A {a:.2f}/{a2:.2f} vs B {b:.2f})")
+    g = time_fn(lambda: rend_sp.render(basis, p_sp),
+                "G: with seg + baked pred")
+    b2 = time_fn(lambda: rend_no.render(basis, p_ns), "B2: without (retime)")
+    g2 = time_fn(lambda: rend_sp.render(basis, p_sp),
+                 "G2: seg + pred (retime)")
+    print(f"[diag] seg overlay cost = {min(a, a2) - min(b, b2):+.2f} ms "
+          f"(A {a:.2f}/{a2:.2f} vs B {b:.2f}/{b2:.2f})")
+    gm = min(g, g2)
+    print(f"[diag] seg+pred overlay cost = {gm - min(b, b2):+.2f} ms; "
+          f"overlay-on fps = {1e3 / gm:.1f} "
+          f"(target >= 80; VERDICT r4 #3)")
 
     # C: seg prep einsums alone, at the renderer's actual crop geometry.
     stats = rend_seg.frame_stats(basis, p)

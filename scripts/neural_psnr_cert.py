@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Mode-2 (fused neural march) FINAL-IMAGE certification (VERDICT r4 #6):
+PSNR of the neural-overlay render vs the XLA oracle rendering the BAKED
+prediction, at the full bench configuration (1024^2 / 256^3), over the
+6-pose sweep (orbit faces + the historical worst diagonal), at
+pred_kstride 1 and 2.
+
+This holds the shipped mode-2 operating point (stride=4, kstride=2) to the
+same standard as every other path: image PSNR >= 40 dB at EVERY pose — not
+the per-plane field-fidelity proxy of docs/RESULTS_r4.md.
+
+Writes docs/neural_psnr_cert.json and prints one JSON line.
+"""
+import argparse
+import json
+import pathlib as _pl
+import sys
+
+sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--vol", type=int, default=256)
+    ap.add_argument("--hidden", default="32,32")
+    ap.add_argument("--pred-stride", type=int, default=4)
+    ap.add_argument("--kstrides", default="1,2")
+    ap.add_argument("--oracle-steps", type=int, default=640)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_raytracer_tpu.config import ModelConfig
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.eval.inference import predict_volume
+    from mri_raytracer_tpu.models.api import build_model
+    from mri_raytracer_tpu.ops import neural_march, raymarch_xla
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    V = (args.vol, args.vol, args.vol)
+    S = args.size
+    mods, seg = synthetic.synthetic_case(V, seed=0)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    zsc = jnp.asarray(np.stack([brats.zscore_nonzero(m.copy())
+                                for m in mods]))
+    segj = jnp.asarray(seg.astype(np.int32))
+
+    hidden = tuple(int(x) for x in args.hidden.split(","))
+    cfg = ModelConfig(hidden_dims=hidden, fourier_freqs=6, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # Oracle overlay: the BAKED prediction (mode-1 ground truth semantics).
+    pred, _ = predict_volume(model, params,
+                             {"mods": np.asarray(zsc), "seg": seg})
+    predj = jnp.asarray(pred.astype(np.int32))
+    n_pred = int((pred > 0).sum())
+    print(f"[cert] backend={jax.default_backend()} pred voxels={n_pred}",
+          file=sys.stderr)
+
+    p = rp.default_render_params(V, show_seg=True, show_pred=True)
+    dt_oracle = float(np.min(np.asarray(p.voxel_size)))
+    p_o = p._replace(step_size=np.float32(dt_oracle),
+                     show_pred=np.float32(1.0))
+    p_n = p._replace(show_pred=np.float32(1.0))
+
+    poses = [("orbit", 0.6, 1.2), ("face-x", 0.0, np.pi / 2),
+             ("face-y", np.pi / 2, np.pi / 2), ("top", 0.3, 0.12),
+             ("diag-low", 0.85, 0.6), ("diagonal", 0.85, 0.85)]
+
+    results = {"config": {"size": S, "vol": args.vol, "hidden": hidden,
+                          "pred_stride": args.pred_stride,
+                          "oracle_steps": args.oracle_steps},
+               "kstride": {}}
+    oracles = {}
+    for name, th, ph in poses:
+        cam = OrbitalCamera(radius=rp.default_camera_radius(p, V),
+                            theta=th, phi=ph)
+        basis = cam.basis()
+        oracles[name] = (basis, np.clip(np.asarray(raymarch_xla.render_brats(
+            disp, segj, predj, basis, p_o, S, S,
+            max_steps=args.oracle_steps)), 0.0, 1.0))
+        print(f"[cert] oracle {name} done", file=sys.stderr)
+
+    overall_ok = True
+    for ks in (int(x) for x in args.kstrides.split(",")):
+        r = neural_march.NeuralBratsRenderer(
+            disp, zsc, segj, model, params, width=S, height=S,
+            pred_stride=args.pred_stride, pred_kstride=ks)
+        psnrs = []
+        for name, _, _ in poses:
+            basis, oracle = oracles[name]
+            img = np.clip(np.asarray(r.render(basis, p_n)), 0.0, 1.0)
+            mse = float(np.mean((img - oracle) ** 2))
+            q = 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+            psnrs.append((q, name))
+            print(f"[cert] kstride={ks} {name}: {q:.2f} dB", file=sys.stderr)
+        worst, worst_pose = min(psnrs)
+        med = float(np.median([q for q, _ in psnrs]))
+        ok = worst >= 40.0
+        overall_ok &= ok
+        results["kstride"][str(ks)] = {
+            "per_pose": {n: round(q, 2) for q, n in psnrs},
+            "min_db": round(worst, 2), "min_pose": worst_pose,
+            "median_db": round(med, 2), "pass_40db": ok}
+        print(f"[cert] kstride={ks}: min {worst:.2f} dB at '{worst_pose}', "
+              f"median {med:.2f} dB -> {'PASS' if ok else 'FAIL'}",
+              file=sys.stderr)
+
+    results["overall_pass"] = overall_ok
+    out = _pl.Path(__file__).resolve().parents[1] / "docs" \
+        / "neural_psnr_cert.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(json.dumps({"metric": "neural_march_image_psnr_min_db",
+                      "value": min(v["min_db"]
+                                   for v in results["kstride"].values()),
+                      "unit": "dB", "pass": overall_ok}))
+    return 0 if overall_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

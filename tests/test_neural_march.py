@@ -130,6 +130,38 @@ def test_pred_stride_close_to_full(scene):
     np.testing.assert_allclose(strided, full, atol=2e-3)
 
 
+def test_pred_kstride_scan_backend(scene):
+    """The scan backend honors pred_kstride (regression: it used to be
+    silently ignored off-TPU, so a CPU cert run compared kstride=1 with
+    itself). Constant predictor -> exact; varying predictor -> close but
+    NOT bit-identical."""
+    disp, zsc, seg = scene
+    p = rp.default_render_params(SHAPE, show_seg=False, show_pred=True,
+                                 step_size=1.8 / 24)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.2)
+    b = cam.basis()
+    model, params = _const_class_model(2)
+    full = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96))
+    k2 = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96,
+        pred_kstride=2))
+    np.testing.assert_allclose(k2, full, atol=2e-3)
+
+    cfg = ModelConfig(hidden_dims=(16, 16), fourier_freqs=4, num_classes=4)
+    model = build_model(cfg, num_modalities=4)
+    params = model.init(jax.random.PRNGKey(3))
+    params[-1]["b"] = params[-1]["b"] + jnp.array([0.0, 0.4, 0.5, 0.45])
+    full = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96))
+    k2 = np.asarray(neural_march.render_brats_neural(
+        disp, zsc, None, model, params, b, p, 64, 64, out_res=96,
+        pred_kstride=2))
+    assert not np.array_equal(k2, full), "pred_kstride had no effect"
+    assert psnr(k2, full) > 25.0
+
+
 def test_fused_field_path_matches_scan(scene):
     """Mode-2 v2 (predict_field + fused Pallas kernel, interpret mode)
     reproduces the scan-path mode-2 image at the same stride/out_res."""
