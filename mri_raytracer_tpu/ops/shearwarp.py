@@ -390,9 +390,19 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
                     use_clip: bool = True,
                     out_cols: Optional[int] = None,
                     z_offset=None, nk_global: Optional[int] = None,
-                    term_gate: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    term_gate: bool = True,
+                    remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan over slice planes; returns intermediate (O,O,3) emission and
     (O,O) transmittance. Volumes are pre-permuted to (K, A, B).
+
+    The whole sweep is differentiable (hat-matrix resampling is linear in
+    the volume; the transfer function is smooth), so ``jax.grad`` through
+    this compositor trains against images from the FAST renderer
+    (reference ``docs/Goals.md:36-39``). ``remat=True`` wraps the plane
+    body in ``jax.checkpoint`` so the backward pass rematerializes each
+    plane's resample instead of storing n_planes activation sets — backward
+    memory drops to O(out_res^2) regardless of volume depth (the
+    training-path default; forward-only rendering keeps remat=False).
 
     Slab mode (volume sharding, parallel/render.py): ``mixed_s`` holds a
     k-contiguous SLAB of a larger volume; ``z_offset`` (traced scalar) is
@@ -525,8 +535,10 @@ def sweep_composite(mixed_s: jnp.ndarray, seg_s: Optional[jnp.ndarray],
     S0 = jnp.zeros((out_res, cols), jnp.float32)
     # unroll=2 lets XLA fuse adjacent planes' compositing chains, halving
     # C/T HBM round-trips (measured ~20% frame win; higher unrolls regress).
-    (C, T, _), _ = jax.lax.scan(body, (C0, T0, S0), jnp.arange(n_planes),
-                                unroll=2)
+    scan_body = jax.checkpoint(body) if remat else body
+    (C, T, _), _ = jax.lax.scan(scan_body, (C0, T0, S0),
+                                jnp.arange(n_planes),
+                                unroll=1 if remat else 2)
     return C, T
 
 
@@ -1001,9 +1013,12 @@ def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
     else:
         # Per-plane scan with unroll: smaller live intermediates than the
         # slab-batched einsum variant (slab kept for reference/tests).
+        # 'scan_remat' = the differentiable-training variant (per-plane
+        # jax.checkpoint: O(out_res^2) backward memory at any depth).
         C, T = sweep_composite(mixed_s, seg_s, pred_s, geom, p, axis, out_res,
                                supersample, use_gamma, use_clip,
-                               z_offset=z_offset, nk_global=nk_global)
+                               z_offset=z_offset, nk_global=nk_global,
+                               remat=composite == "scan_remat")
     if not warp:
         # With echo instrumentation the debug channel (T's slot) is the
         # payload (e.g. executed-plane counts for utils/arith).
@@ -1160,9 +1175,12 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
                  composite: str = "scan") -> jnp.ndarray:
     """Drop-in fast replacement for raymarch_xla.render_brats.
 
-    ``composite``: 'scan' (XLA lax.scan compositing) or 'pallas' (fused
-    VMEM-resident compositing kernel, TPU only; requires supersample == 1 and
-    out_res % 128 == 0, silently falling back to 'scan' otherwise).
+    ``composite``: 'scan' (XLA lax.scan compositing), 'scan_remat' (same,
+    with per-plane rematerialization — the differentiable-training variant:
+    ``jax.grad`` w.r.t. ``mods`` flows through the whole shear-warp
+    factorization with O(out_res^2) backward memory), or 'pallas' (fused
+    VMEM-resident compositing kernel, TPU only; requires supersample == 1
+    and out_res % 128 == 0, silently falling back to 'scan' otherwise).
     """
     out_res = out_res or max(width, height)
     axis = dominant_axis(basis)
@@ -1175,7 +1193,9 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
 
         use_gamma = abs(float(_np.asarray(p.gamma)) - 1.0) > 1e-12
         use_clip = (float(_np.asarray(p.near)) > 0.0) or (float(_np.asarray(p.far)) > 0.0)
-    use_pallas = jax.default_backend() == "tpu"
+    # The differentiable variant must keep the gather warp: the Pallas warp
+    # kernel has no VJP rule (and must not share a program with grads).
+    use_pallas = jax.default_backend() == "tpu" and composite != "scan_remat"
     if use_pallas and composite == "pallas" and supersample == 1 \
             and out_res % 128 == 0:
         # Route through the split pipeline (prep -> composite -> warp as

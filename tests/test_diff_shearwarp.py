@@ -1,0 +1,105 @@
+"""Differentiability of the PRODUCTION shear-warp renderer (VERDICT r4 #5
+stretch; reference ``docs/Goals.md:36-39`` — gradients from rendered pixels
+of the real viewer kernels, not a side-channel marcher).
+
+The scan compositor is pure XLA (hat-matrix resampling is linear in the
+volume, the transfer function smooth), so ``jax.grad`` flows through the
+whole factorization; ``composite='scan_remat'`` additionally bounds
+backward memory to O(out_res^2) via per-plane ``jax.checkpoint``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_raytracer_tpu.data import brats, synthetic
+from mri_raytracer_tpu.ops import shearwarp as sw
+from mri_raytracer_tpu.render import params as rp
+from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+SHAPE = (24, 24, 20)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=2)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    p = rp.default_render_params(SHAPE, show_seg=False)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.2)
+    return disp, p, cam.basis()
+
+
+def _loss_fn(p, basis, composite):
+    probe = jnp.cos(jnp.arange(48.0))[None, :]
+
+    def loss(m):
+        img = sw.render_brats(m, None, None, basis, p, 48, 48, out_res=64,
+                              composite=composite)
+        return jnp.sum(img[..., 0] * probe)
+
+    return loss
+
+
+def test_grad_matches_directional_fd(scene):
+    """Analytic gradient through the full shear-warp sweep matches a
+    directional finite difference (eps above the pipeline's bf16 resample
+    quantization)."""
+    disp, p, basis = scene
+    loss = _loss_fn(p, basis, "scan")
+    g = jax.grad(loss)(disp)
+    assert bool(jnp.isfinite(g).all())
+    assert float((jnp.abs(g) > 0).mean()) > 0.1, "gradient mostly dead"
+    d = g / jnp.linalg.norm(g)
+    eps = 0.3
+    fd = (float(loss(disp + eps * d)) - float(loss(disp - eps * d))) \
+        / (2 * eps)
+    an = float(jnp.vdot(g, d))
+    assert abs(fd - an) / max(abs(an), 1e-9) < 0.02, (fd, an)
+
+
+def test_remat_grads_match_plain_scan(scene):
+    """'scan_remat' (per-plane jax.checkpoint) computes the same gradient
+    as the plain scan — remat changes memory, not math."""
+    disp, p, basis = scene
+    g1 = jax.grad(_loss_fn(p, basis, "scan"))(disp)
+    g2 = jax.grad(_loss_fn(p, basis, "scan_remat"))(disp)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_inverse_rendering_through_fast_renderer(scene):
+    """Gradient descent on the VOLUME against images rendered by the fast
+    shear-warp renderer recovers a corrupted region: the production
+    renderer is trainable end-to-end."""
+    disp, p, basis0 = scene
+    poses = [OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                           theta=t, phi=ph).basis()
+             for t, ph in ((0.5, 1.2), (2.1, 1.0), (4.0, 0.7))]
+    targets = [sw.render_brats(disp, None, None, b, p, 48, 48, out_res=64,
+                               composite="scan") for b in poses]
+
+    corrupt = disp.at[:, 8:16, 8:16, 6:14].mul(0.2)
+
+    def views_loss(m):
+        err = 0.0
+        for b, t in zip(poses, targets):
+            img = sw.render_brats(m, None, None, b, p, 48, 48, out_res=64,
+                                  composite="scan_remat")
+            err = err + jnp.mean((img - t) ** 2)
+        return err / len(poses)
+
+    import optax
+
+    opt = optax.adam(0.03)
+    vg = jax.jit(jax.value_and_grad(views_loss))
+    x = corrupt
+    st = opt.init(x)
+    l0, _ = vg(x)
+    for _ in range(40):
+        _, g = vg(x)
+        upd, st = opt.update(g, st)
+        x = jnp.clip(optax.apply_updates(x, upd), 0.0, 1.0)
+    lT, _ = vg(x)
+    assert float(lT) < 0.25 * float(l0), (float(l0), float(lT))
