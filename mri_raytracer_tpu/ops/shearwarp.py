@@ -781,7 +781,12 @@ def warp_to_screen(C: jnp.ndarray, geom: SweepGeom, basis: CameraBasis,
 
     from mri_raytracer_tpu.ops.pallas_warp import TILE_I, TILE_J
 
-    if use_pallas and height % TILE_I == 0 and width % TILE_J == 0:
+    # O % 128: Mosaic DMA slices must be lane-tile aligned — when the
+    # window clamps to a small plane (min(win, O) with O < 128, e.g. the
+    # low-res fit_from_views configs), the copy size is unaligned and the
+    # kernel fails to compile. Such planes are cheap; gather handles them.
+    if use_pallas and height % TILE_I == 0 and width % TILE_J == 0 \
+            and O % 128 == 0:
         from mri_raytracer_tpu.ops.pallas_warp import (warp_fit_starts,
                                                        warp_pallas_exec)
 
@@ -1172,7 +1177,8 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
                  max_steps: int = 1024, out_res: Optional[int] = None,
                  supersample: int = 1, use_gamma: Optional[bool] = None,
                  use_clip: Optional[bool] = None,
-                 composite: str = "scan") -> jnp.ndarray:
+                 composite: str = "scan",
+                 axis: Optional[int] = None) -> jnp.ndarray:
     """Drop-in fast replacement for raymarch_xla.render_brats.
 
     ``composite``: 'scan' (XLA lax.scan compositing), 'scan_remat' (same,
@@ -1181,9 +1187,15 @@ def render_brats(mods: jnp.ndarray, seg: Optional[jnp.ndarray],
     factorization with O(out_res^2) backward memory), or 'pallas' (fused
     VMEM-resident compositing kernel, TPU only; requires supersample == 1
     and out_res % 128 == 0, silently falling back to 'scan' otherwise).
+
+    ``axis``: explicit sweep axis. The default derives it host-side from
+    the camera (``dominant_axis``), which requires a concrete basis —
+    batched/traced callers (e.g. vmap over packed camera vectors in a
+    differentiable-rendering loss) group their cameras by axis and pass it.
     """
     out_res = out_res or max(width, height)
-    axis = dominant_axis(basis)
+    if axis is None:
+        axis = dominant_axis(basis)
     zeros = jnp.zeros((1, 1, 1), jnp.int32)
     if use_gamma is None or use_clip is None:
         # Host-side static specialization on rarely-touched params: the

@@ -215,6 +215,178 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
 
 
+# ------------------------------------- fitting THROUGH the fast renderer
+def init_modality_inr(key, n_mods: int = 4, rff_dim: int = 96,
+                      rff_sigma: float = 1.6, hidden=(128, 128, 128)):
+    """RFF + M5 MLP predicting per-modality display intensities."""
+    kB, kM = jax.random.split(key)
+    B = feats.init_rff(kB, 3, rff_dim, rff_sigma)
+    _, params = mlp_mod.init_mlp(kM, 2 * rff_dim, hidden, n_mods)
+    return {"B": B, "mlp": params}
+
+
+def bake_modalities(params, shape, chunk: int = 8192) -> jnp.ndarray:
+    """Differentiably evaluate the INR on the full voxel grid ->
+    (M, X, Y, Z) display volumes. Coordinates use the training convention
+    (index/max-dim in [0, 1)); chunked ``lax.map`` with ``jax.checkpoint``
+    keeps the bake's backward memory at O(chunk)."""
+    X, Y, Z = shape
+    n = float(max(shape))
+    ii, jj, kk = jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
+                              indexing="ij")
+    coords = jnp.stack([ii, jj, kk], -1).reshape(-1, 3).astype(jnp.float32)
+    coords = coords / n
+    pad = (-coords.shape[0]) % chunk
+    coords = jnp.pad(coords, ((0, pad), (0, 0)))
+
+    @jax.checkpoint
+    def block(c):
+        h = feats.rff_features(c, params["B"])
+        return jax.nn.sigmoid(mlp_mod.apply_mlp(params["mlp"], h))
+
+    out = jax.lax.map(block, coords.reshape(-1, chunk, 3))
+    out = out.reshape(-1, out.shape[-1])[: X * Y * Z]
+    return jnp.moveaxis(out.reshape(X, Y, Z, -1), -1, 0)
+
+
+def fit_views_shearwarp(targets: np.ndarray, bases, p, shape,
+                        out_res: int = 128, steps: int = 300,
+                        views_per_step: int = 2, lr: float = 2e-3,
+                        key=None, params=None, log_every: int = 25,
+                        log_fn=print) -> Tuple[Dict, List[float]]:
+    """Fit the INR against images rendered by the PRODUCTION shear-warp
+    renderer (``composite='scan_remat'``): each step differentiably bakes
+    the INR to the full voxel grid (MXU matmuls), renders full frames
+    through the sweep, and backprops the image MSE through bake + sweep +
+    warp. The trainable fast-renderer path (Goals.md:36-39) — no
+    side-channel marcher anywhere in the loss."""
+    import optax
+
+    from mri_raytracer_tpu.ops import shearwarp as sw
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    key, kinit = jax.random.split(key)
+    if params is None:
+        params = init_modality_inr(kinit)
+
+    # One compiled grad program per sweep axis: the axis is a host-side
+    # static (it selects the volume permutation), so views are grouped by
+    # dominant_axis and each step draws its mini-batch from one group.
+    groups: Dict[int, List[int]] = {}
+    for i, b in enumerate(bases):
+        groups.setdefault(sw.dominant_axis(b), []).append(i)
+    axes = sorted(groups)
+    basis_vecs = jnp.stack([b.pack() for b in bases])
+    tg = jnp.asarray(targets)
+    R = targets.shape[1]
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("axis",))
+    def step_fn(params, opt_state, vecs, tgs, axis):
+        def loss_fn(params):
+            mods = bake_modalities(params, shape)
+
+            def one(vec, t):
+                img = sw.render_brats(mods, None, None, vec, p, R, R,
+                                      out_res=out_res,
+                                      composite="scan_remat",
+                                      use_gamma=False, use_clip=False,
+                                      axis=axis)
+                return jnp.mean((img - t) ** 2)
+
+            return jnp.mean(jax.vmap(one)(vecs, tgs))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    losses = []
+    for it in range(steps):
+        axis = axes[it % len(axes)]
+        idx = rng.choice(groups[axis], size=views_per_step, replace=True)
+        idx = jnp.asarray(idx)
+        params, opt_state, loss = step_fn(params, opt_state,
+                                          basis_vecs[idx], tg[idx], axis)
+        if it % log_every == 0 or it == steps - 1:
+            lval = float(loss)
+            losses.append(lval)
+            log_fn(f"[fit-sw] step {it}/{steps} axis {axis} "
+                   f"loss {lval:.3e}")
+    return params, losses
+
+
+def run_shearwarp(shape=(64, 64, 64), res: int = 256, out_res: int = 128,
+                  n_train_views: int = 16, n_held_views: int = 4,
+                  steps: int = 300, views_per_step: int = 2, seed: int = 0,
+                  log_fn=print) -> Dict:
+    """Inverse rendering with the PRODUCTION renderer end to end: targets,
+    loss, and evaluation all use ``shearwarp.render_brats``."""
+    from mri_raytracer_tpu.data import brats as brats_mod
+    from mri_raytracer_tpu.data import synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.render import params as rp
+
+    mods, _ = synthetic.synthetic_case(shape, seed=seed)
+    disp = jnp.asarray(np.stack([brats_mod.percentile_normalize(m)
+                                 for m in mods]))
+    p = rp.default_render_params(shape, show_seg=False)
+    radius = rp.default_camera_radius(p, shape)
+
+    bases_tr = make_orbit_bases(n_train_views, radius=radius)
+    bases_ho = make_orbit_bases(n_held_views, radius=radius,
+                                phase=np.pi / n_train_views, phi=1.3)
+
+    def render_views(vols, bases):
+        return np.stack([np.asarray(sw.render_brats(
+            vols, None, None, b, p, res, res, out_res=out_res,
+            composite="scan", use_gamma=False, use_clip=False))
+            for b in bases])
+
+    t_start = time.perf_counter()
+    tg_tr = render_views(disp, bases_tr)
+    tg_ho = render_views(disp, bases_ho)
+    t_targets = time.perf_counter() - t_start
+
+    t_start = time.perf_counter()
+    params, losses = fit_views_shearwarp(
+        tg_tr, bases_tr, p, shape, out_res=out_res, steps=steps,
+        views_per_step=views_per_step, key=jax.random.PRNGKey(seed),
+        log_fn=log_fn)
+    t_fit = time.perf_counter() - t_start
+
+    baked = bake_modalities(params, shape)
+    rec_tr = render_views(baked, bases_tr)
+    rec_ho = render_views(baked, bases_ho)
+
+    psnr_tr = [psnr(rec_tr[i], tg_tr[i]) for i in range(len(bases_tr))]
+    psnr_ho = [psnr(rec_ho[i], tg_ho[i]) for i in range(len(bases_ho))]
+    return {
+        "renderer": "shearwarp", "shape": list(shape), "res": res,
+        "out_res": out_res, "n_train_views": n_train_views,
+        "n_held_views": n_held_views, "steps": steps,
+        "views_per_step": views_per_step,
+        "n_params": mlp_mod.count_params(params["mlp"]),
+        "losses": losses,
+        "psnr_train_mean": float(np.mean(psnr_tr)),
+        "psnr_train_min": float(np.min(psnr_tr)),
+        "psnr_heldout_mean": float(np.mean(psnr_ho)),
+        "psnr_heldout_min": float(np.min(psnr_ho)),
+        "wall_s_targets": round(t_targets, 1),
+        "wall_s_fit": round(t_fit, 1),
+        "volume_psnr_db": psnr(np.asarray(baked), np.asarray(disp)),
+        "_recovered": rec_tr, "_targets": tg_tr,
+        "_recovered_ho": rec_ho, "_targets_ho": tg_ho,
+    }
+
+
 def run(shape=(64, 64, 64), res: int = 256, n_train_views: int = 16,
         n_held_views: int = 4, steps: int = 2500, batch_rays: int = 4096,
         n_coarse: int = 48, n_fine: int = 96, seed: int = 0,

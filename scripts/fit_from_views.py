@@ -29,6 +29,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--renderer", default="marcher",
+                    choices=["marcher", "shearwarp"],
+                    help="'marcher': ray batches through ops/diffrender + "
+                    "importance sampling. 'shearwarp': full frames through "
+                    "the PRODUCTION fast renderer (composite='scan_remat') "
+                    "— bake the INR to the grid differentiably, render, "
+                    "backprop through bake + shear + warp")
+    ap.add_argument("--out-res", type=int, default=128,
+                    help="shearwarp mode: rendered output resolution")
+    ap.add_argument("--views-per-step", type=int, default=2,
+                    help="shearwarp mode: full frames per train step")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,17 +57,82 @@ def main(argv=None):
     shape = tuple(int(x) for x in args.shape.split(","))
     print(f"[fit] backend={jax.default_backend()} shape={shape} "
           f"res={args.res} views={args.views} steps={args.steps}")
-    rec = fit_views.run(shape=shape, res=args.res,
-                        n_train_views=args.views,
-                        n_held_views=args.held_views, steps=args.steps,
-                        batch_rays=args.batch_rays, n_coarse=args.n_coarse,
-                        n_fine=args.n_fine, seed=args.seed)
+    if args.renderer == "shearwarp":
+        rec = fit_views.run_shearwarp(
+            shape=shape, res=args.res, out_res=args.out_res,
+            n_train_views=args.views, n_held_views=args.held_views,
+            steps=args.steps, views_per_step=args.views_per_step,
+            seed=args.seed)
+    else:
+        rec = fit_views.run(shape=shape, res=args.res,
+                            n_train_views=args.views,
+                            n_held_views=args.held_views, steps=args.steps,
+                            batch_rays=args.batch_rays,
+                            n_coarse=args.n_coarse,
+                            n_fine=args.n_fine, seed=args.seed)
 
     out_dir = _pl.Path(args.out or
                        _pl.Path(__file__).resolve().parents[1] / "docs")
     out_dir.mkdir(parents=True, exist_ok=True)
     imgs = {k: rec.pop(k) for k in list(rec) if k.startswith("_")}
-    (out_dir / "fit_from_views.json").write_text(json.dumps(rec, indent=1))
+    suffix = "_shearwarp" if args.renderer == "shearwarp" else ""
+    (out_dir / f"fit_from_views{suffix}.json").write_text(
+        json.dumps(rec, indent=1))
+
+    if args.renderer == "shearwarp":
+        ok = rec["psnr_train_mean"] >= 30.0
+        md = [
+            "# Inverse rendering THROUGH the production shear-warp "
+            f"renderer ({'PASS' if ok else 'FAIL'})",
+            "",
+            f"Backend: {jax.default_backend()}. Fit an RFF+MLP intensity "
+            f"field ({rec['n_params']} params, 4 modality outputs) from "
+            f"{rec['n_train_views']} views rendered at {args.res}^2 "
+            f"(out_res {rec['out_res']}) by `ops/shearwarp.render_brats` "
+            f"of a {shape[0]}^3 synthetic volume. Each of the "
+            f"{rec['steps']} Adam steps differentiably BAKES the INR to "
+            "the full voxel grid (MXU matmuls under jax.checkpoint) and "
+            "backprops full-frame MSE through bake + shear-resample + "
+            "scan-compositor + warp (`composite='scan_remat'`) — the "
+            "trainable fast-renderer path (reference docs/Goals.md:36-39).",
+            "",
+            "| metric | value |",
+            "|---|---|",
+            f"| recovered-view PSNR (train, mean/min) | "
+            f"{rec['psnr_train_mean']:.2f} / "
+            f"{rec['psnr_train_min']:.2f} dB |",
+            f"| recovered-view PSNR (HELD-OUT, mean/min) | "
+            f"{rec['psnr_heldout_mean']:.2f} / "
+            f"{rec['psnr_heldout_min']:.2f} dB |",
+            f"| recovered VOLUME PSNR vs ground truth | "
+            f"{rec['volume_psnr_db']:.2f} dB |",
+            f"| wall time: render targets | {rec['wall_s_targets']} s |",
+            f"| wall time: fit | {rec['wall_s_fit']} s |",
+            "",
+            f"Success bar (>= 30 dB recovered-view PSNR): "
+            f"{'MET' if ok else 'NOT MET'}.",
+            "",
+            "Run: `python scripts/fit_from_views.py --renderer shearwarp`.",
+        ]
+        (out_dir / "FIT_FROM_VIEWS_shearwarp.md").write_text(
+            "\n".join(md) + "\n")
+        try:
+            from PIL import Image
+            import numpy as np
+
+            pair = np.concatenate([imgs["_targets"][0][..., :3],
+                                   imgs["_recovered"][0][..., :3]], axis=1)
+            (out_dir / "img").mkdir(parents=True, exist_ok=True)
+            Image.fromarray(
+                (np.clip(pair, 0, 1) * 255).astype("uint8")).save(
+                out_dir / "img" / "fit_from_views_shearwarp_pair.png")
+        except Exception as e:
+            print(f"[fit] PNG skipped: {e}")
+        print(f"[fit-sw] train PSNR {rec['psnr_train_mean']:.2f} dB "
+              f"(min {rec['psnr_train_min']:.2f}), held-out "
+              f"{rec['psnr_heldout_mean']:.2f} dB; fit "
+              f"{rec['wall_s_fit']}s -> {'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
 
     ok = rec["psnr_train_mean"] >= 30.0
     md = [

@@ -103,3 +103,46 @@ def test_inverse_rendering_through_fast_renderer(scene):
         x = jnp.clip(optax.apply_updates(x, upd), 0.0, 1.0)
     lT, _ = vg(x)
     assert float(lT) < 0.25 * float(l0), (float(l0), float(lT))
+
+
+def test_axis_override_matches_derived(scene):
+    """``render_brats(axis=...)`` with the host-derived dominant axis is
+    bit-identical to the default path — the override exists so traced/
+    batched callers (vmap over packed camera vectors) can group views by
+    sweep axis and pass it statically."""
+    disp, p, basis = scene
+    ax = sw.dominant_axis(basis)
+    a = sw.render_brats(disp, None, None, basis, p, 48, 48, out_res=64,
+                        composite="scan")
+    b = sw.render_brats(disp, None, None, basis, p, 48, 48, out_res=64,
+                        composite="scan", axis=ax)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_views_shearwarp_inr_learns():
+    """INR-from-views THROUGH the production renderer: each step
+    differentiably bakes an RFF+MLP field to the voxel grid and backprops
+    full-frame MSE through bake + shear + warp (train/fit_views.py
+    ``fit_views_shearwarp``). A short run must cut the loss and produce
+    finite params."""
+    from mri_raytracer_tpu.train import fit_views as fv
+
+    shape = (16, 16, 16)
+    mods, _ = synthetic.synthetic_case(shape, seed=3)
+    disp = jnp.asarray(np.stack([brats.percentile_normalize(m)
+                                 for m in mods]))
+    p = rp.default_render_params(shape, show_seg=False)
+    radius = rp.default_camera_radius(p, shape)
+    bases = fv.make_orbit_bases(4, radius=radius)
+    targets = np.stack([np.asarray(sw.render_brats(
+        disp, None, None, b, p, 32, 32, out_res=16, composite="scan",
+        use_gamma=False, use_clip=False)) for b in bases])
+
+    logs = []
+    params, losses = fv.fit_views_shearwarp(
+        targets, bases, p, shape, out_res=16, steps=12, views_per_step=2,
+        key=jax.random.PRNGKey(0), log_every=1,
+        log_fn=lambda s: logs.append(s))
+    assert losses[-1] < 0.5 * losses[0], losses
+    flat, _ = jax.tree.flatten(params)
+    assert all(bool(jnp.isfinite(x).all()) for x in flat)
