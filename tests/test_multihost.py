@@ -123,6 +123,61 @@ _WORKER_TRAIN = textwrap.dedent("""
 """)
 
 
+_WORKER_RENDER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mri_raytracer_tpu.data import brats, synthetic
+    from mri_raytracer_tpu.ops import shearwarp as sw
+    from mri_raytracer_tpu.parallel import mesh as mesh_mod
+    from mri_raytracer_tpu.parallel import render as prender
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    mesh_mod.initialize_distributed(f"localhost:{port}", 2, pid)
+    devs = jax.devices()
+    assert len(devs) == 8, len(devs)
+    mesh = Mesh(np.asarray(devs).reshape(1, 8), ("data", "space"))
+    rep = NamedSharding(mesh, P())
+
+    def repl(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep, lambda i: x[i])
+
+    SHAPE = (16, 16, 12)
+    mods, seg = synthetic.synthetic_case(SHAPE, seed=2)
+    disp = np.stack([brats.percentile_normalize(m) for m in mods])
+    p = rp.default_render_params(SHAPE, show_seg=True)
+    cam = OrbitalCamera(radius=rp.default_camera_radius(p, SHAPE),
+                        theta=0.5, phi=1.1)
+
+    render = prender.build_sharded_renderer(mesh, SHAPE, 64, 64, out_res=64,
+                                            has_seg=True, has_pred=False)
+    # Ray stripes land 4-per-process; the pre-warp all_gather rides the
+    # process boundary (DCN in a real pod).
+    img = np.asarray(jax.device_get(render(
+        repl(disp.astype(np.float32)), repl(seg.astype(np.int32)), None,
+        cam.basis(), p)))
+
+    # Single-device oracle on a LOCAL device (independent of the mesh).
+    with jax.default_device(jax.local_devices()[0]):
+        ref = np.asarray(sw.render_brats(
+            jnp.asarray(disp), jnp.asarray(seg.astype(np.int32)), None,
+            cam.basis(), p, 64, 64, out_res=64))
+    err = float(np.abs(img - ref).max())
+    assert err <= 2e-3, err
+    print(f"proc{pid}: sharded render over 2 hosts ok (maxerr={err:.2e}, "
+          f"checksum={float(img.sum()):.6f})", flush=True)
+""")
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -180,4 +235,35 @@ def test_two_process_dp_train_step(tmp_path):
         assert marker, out
         lines.append(marker[0].split(":", 1)[1])
     # losses and the param checksum must agree bit-for-bit across processes
+    assert lines[0] == lines[1], lines
+
+
+def test_two_process_sharded_render(tmp_path):
+    """A production-renderer frame SHARDED ACROSS two processes: ray
+    stripes of the shear-warp composite land 4-per-process and the pre-warp
+    ``all_gather`` crosses the process boundary; the assembled frame must
+    match the single-device renderer on both processes (and bit-agree
+    between them)."""
+    port = _free_port()
+    script = tmp_path / "worker_render.py"
+    script.write_text(_WORKER_RENDER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=360)
+        outs.append(out)
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        marker = [ln for ln in out.splitlines()
+                  if "sharded render over 2 hosts ok" in ln]
+        assert marker, out
+        lines.append(marker[0].split("checksum=", 1)[1])
     assert lines[0] == lines[1], lines
