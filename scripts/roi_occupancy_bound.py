@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--rect-frac", type=float, default=0.5,
+                    help="foveated inset fraction per screen axis "
+                    "(ops/roi_policy.render_policy_foveated default)")
     args = ap.parse_args()
 
     import jax
@@ -72,8 +75,16 @@ def main():
             fracs.append(float(jnp.sum(jnp.where(m, frac, 0.0))
                                / jnp.maximum(jnp.sum(m), 1)))
         f = float(np.mean(fracs))
+        # Foveated screen-space ceiling ON TOP of redistribution: ROI
+        # inset at full resolution (rect_frac^2 of the rays) + the rest of
+        # the frame at half resolution (1/4 of the rays), every ray still
+        # bounded by the live-chord floor — the combined arithmetic limit
+        # the protocol's foveated operating points are measured against.
+        ray_factor = 0.25 + args.rect_frac ** 2
         print(f"{sc['name']:10s} live-chord fraction {f:.3f} -> "
-              f"redistribution ceiling ~{1.0 / f:.2f}x (ideal)")
+              f"redistribution ceiling ~{1.0 / f:.2f}x (ideal); "
+              f"+foveation (rect_frac={args.rect_frac}, ray factor "
+              f"{ray_factor:.2f}) -> ~{1.0 / (f * ray_factor):.2f}x")
 
 
 if __name__ == "__main__":
