@@ -593,22 +593,10 @@ class NeuralBratsRenderer:
         is a separate compiled program — without this, the first pose whose
         footprint flips the window stalls the interactive neural path on a
         compile."""
-        import math
-
-        from mri_raytracer_tpu.render.camera import OrbitalCamera
-
-        wins = (None,)
-        if self.backend == "fused" and jax.default_backend() == "tpu":
-            from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
-
-            wins = WINDOW_LADDER
-        out = None
-        for theta, phi in ((0.0, math.pi / 2), (math.pi / 2, math.pi / 2),
-                           (0.0, 0.05)):
-            cam = OrbitalCamera(radius=2.0, theta=theta, phi=phi)
-            for win in wins:
-                out = self.render(cam.basis(), p, _warp_win=win)
-        jax.block_until_ready(out)
+        sw.warmup_window_variants(
+            lambda basis, win: self.render(basis, p, _warp_win=win),
+            ladder=(self.backend == "fused"
+                    and jax.default_backend() == "tpu"))
 
     def render(self, basis, p: BratsRenderParams,
                _warp_win=None) -> jnp.ndarray:
@@ -632,13 +620,8 @@ class NeuralBratsRenderer:
         (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
         nk, na_g, nb_g = dims_perm
         base_res = self.sweep_res or max(self.width, self.height)
-        inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
-        if inplane_cropped:
-            frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
-            out_res = min(base_res,
-                          max(128, -(-int(base_res * frac) // 128) * 128))
-        else:
-            out_res = base_res
+        out_res, inplane_cropped = sw.crop_out_res(base_res, crops,
+                                                   dims_perm)
         assert out_res % self.stride == 0, (out_res, self.stride)
         slab = (k_lo, k_hi) != (0, nk)
         _, use_gamma, use_clip = self._flags(p)
@@ -656,22 +639,19 @@ class NeuralBratsRenderer:
             ab_offset=ab, inplane_global=ipg, kstride=self.kstride)
         # Warp in its own program (Pallas kernel coexistence — see
         # _render_neural_fused docstring). Window variant chosen per frame
-        # from the host-side analytic footprint bound (see render/brats.py).
-        # Fallbacks use the ladder-max TUPLE, not None: both select the same
-        # window, but they are distinct static jit cache keys and warmup only
-        # precompiles the ladder tuples (render/brats.py has the same rule).
-        from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
-        warp_win = WINDOW_LADDER[-1]
+        # from the host-side analytic footprint bound, with the shared
+        # ladder-max-tuple fallback (sw.warp_win_hint_or_max — same rule as
+        # render/brats.py, by construction).
         if _warp_win is not None:
             warp_win = _warp_win
         elif isinstance(basis, CameraBasis):
-            try:
-                warp_win = sw.warp_window_hint(
-                    basis, p, tuple(dims_perm), axis, out_res, self.width,
-                    self.height, content_lo=(k_lo, a_lo, b_lo),
-                    content_hi=(k_hi, a_hi, b_hi))
-            except Exception:
-                warp_win = WINDOW_LADDER[-1]
+            warp_win = sw.warp_win_hint_or_max(
+                basis, p, dims_perm, axis, out_res, self.width,
+                self.height, crops)
+        else:
+            from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+            warp_win = WINDOW_LADDER[-1]
         return sw.warp_program(C, basis_vec, p, axis, self.width,
                                self.height, out_res,
                                tuple(int(d) for d in mixed_s.shape),

@@ -985,6 +985,68 @@ def warp_window_hint(basis, p, dims_perm, axis, out_res, width, height,
     return choose_window(span(i_map), span(j_map), O=out_res)
 
 
+def crop_out_res(base_res: int, crops, dims_perm):
+    """Shared crop→intermediate-resolution rule (the production renderer
+    and the fused neural renderer must agree or their compiled programs
+    diverge): when the in-plane content box is cropped, shrink the
+    intermediate plane to the content fraction, rounded UP to 128 (the
+    Pallas lane tile) with a 128 floor — the round-up only ever raises
+    sampling density. Returns ``(out_res, inplane_cropped)``."""
+    (_, _), (a_lo, a_hi), (b_lo, b_hi) = crops
+    _, na_g, nb_g = dims_perm
+    inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
+    if not inplane_cropped:
+        return base_res, False
+    frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
+    return min(base_res, max(128, -(-int(base_res * frac) // 128) * 128)), \
+        True
+
+
+def warp_win_hint_or_max(basis, p, dims_perm, axis, out_res, width, height,
+                         crops):
+    """``warp_window_hint`` with the shared fallback rule: any hint failure
+    returns the ladder-max TUPLE, not None — both select the same window,
+    but they are distinct static jit cache keys and warmup only precompiles
+    the ladder tuples; a None would trigger a fresh warp-program compile
+    mid-orbit (minutes over the remote-compile tunnel)."""
+    from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+    (k_lo, _), (a_lo, _), (b_lo, _) = crops
+    (_, k_hi), (_, a_hi), (_, b_hi) = crops
+    try:
+        return warp_window_hint(basis, p, tuple(dims_perm), axis, out_res,
+                                width, height,
+                                content_lo=(k_lo, a_lo, b_lo),
+                                content_hi=(k_hi, a_hi, b_hi))
+    except Exception:
+        return WINDOW_LADDER[-1]
+
+
+def warmup_window_variants(render_fn, ladder: bool) -> None:
+    """Shared warmup loop: render one pose per sweep axis (face-x, face-y,
+    top) — and, on the fused TPU path (``ladder=True``), once per
+    warp-window ladder rung per axis — so an interactive orbit never hits
+    a compile stall when the dominant axis or the footprint hint's window
+    flips mid-orbit. ``render_fn(basis, win)`` must force the given window
+    variant (None = backend default)."""
+    import math
+
+    from mri_raytracer_tpu.render.camera import OrbitalCamera
+
+    wins = (None,)
+    if ladder:
+        from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
+
+        wins = WINDOW_LADDER
+    out = None
+    for theta, phi in ((0.0, math.pi / 2), (math.pi / 2, math.pi / 2),
+                       (0.0, 0.05)):
+        cam = OrbitalCamera(radius=2.0, theta=theta, phi=phi)
+        for win in wins:
+            out = render_fn(cam.basis(), win)
+    jax.block_until_ready(out)
+
+
 def _render_prepared_impl(mixed_s, seg_s, pred_s, basis_vec, p, axis, width,
                           height, out_res, supersample, use_gamma, use_clip,
                           use_pallas, composite, z_offset=None,
@@ -1134,6 +1196,15 @@ def render_prepared(mixed_s, seg_s, pred_s, basis, p, axis, width, height,
                             tuple(int(d) for d in mixed_s.shape), z_off,
                             nk_global, ab, inplane_global, use_pallas=True,
                             win=warp_win)
+    if echo is not None:
+        # The composite=='pallas' guard above passed but the fused kernel
+        # is NOT being taken (non-TPU backend, supersample > 1, or
+        # out_res % 128) — returning the fallback's rendered image as an
+        # "echo payload" would feed garbage into utils/arith silently.
+        raise ValueError(
+            "echo instrumentation requires the fused Pallas path "
+            f"(backend={jax.default_backend()}, supersample={supersample}, "
+            f"out_res={out_res} — need TPU, supersample=1, out_res%128==0)")
     return _render_prepared(mixed_s, seg_s if seg_s is not None else zeros,
                             pred_s if pred_s is not None else zeros,
                             basis_vec,

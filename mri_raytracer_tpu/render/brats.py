@@ -131,15 +131,9 @@ class BratsRenderer:
                      for i, o in enumerate(order)]
         else:
             crops = [(0, n) for n in dims_perm]
-        (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
         base_res = self.sweep_res or max(self.width, self.height)
-        inplane_cropped = (a_lo, a_hi, b_lo, b_hi) != (0, na_g, 0, nb_g)
-        if inplane_cropped:
-            frac = max((a_hi - a_lo) / na_g, (b_hi - b_lo) / nb_g)
-            out_res = min(base_res,
-                          max(128, -(-int(base_res * frac) // 128) * 128))
-        else:
-            out_res = base_res
+        out_res, inplane_cropped = shearwarp.crop_out_res(base_res, crops,
+                                                          dims_perm)
         return axis, order, dims_perm, crops, out_res, inplane_cropped
 
     def frame_stats(self, basis, params) -> dict:
@@ -155,14 +149,9 @@ class BratsRenderer:
         (k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi) = crops
         win = WINDOW_LADDER[-1]
         if self.backend == "sweep_pallas":
-            try:
-                win = shearwarp.warp_window_hint(
-                    basis, params, tuple(dims_perm), axis, out_res,
-                    self.width, self.height,
-                    content_lo=(k_lo, a_lo, b_lo),
-                    content_hi=(k_hi, a_hi, b_hi))
-            except Exception:
-                pass
+            win = shearwarp.warp_win_hint_or_max(
+                basis, params, dims_perm, axis, out_res, self.width,
+                self.height, crops)
         return {
             "axis": axis,
             "out_res": out_res,
@@ -251,21 +240,10 @@ class BratsRenderer:
                 if warp_win_override is not None or composite != "pallas":
                     warp_win = warp_win_override
                 else:
-                    try:
-                        warp_win = shearwarp.warp_window_hint(
-                            basis, params, (nk, na_g, nb_g), axis, out_res,
-                            self.width, self.height,
-                            content_lo=(k_lo, a_lo, b_lo),
-                            content_hi=(k_hi, a_hi, b_hi))
-                    except Exception:
-                        # Fall back to the ladder-max TUPLE, not None: both
-                        # select the same window, but they are distinct
-                        # static jit cache keys, and warmup precompiles the
-                        # ladder tuples — a None here would trigger a fresh
-                        # warp-program compile mid-orbit.
-                        from mri_raytracer_tpu.ops.pallas_warp import \
-                            WINDOW_LADDER
-                        warp_win = WINDOW_LADDER[-1]
+                    warp_win = shearwarp.warp_win_hint_or_max(
+                        basis, params, (nk, na_g, nb_g), axis, out_res,
+                        self.width, self.height,
+                        ((k_lo, k_hi), (a_lo, a_hi), (b_lo, b_hi)))
                 return shearwarp.render_prepared(
                     mixed_s, seg_s, pred_s, basis, p_dev, axis, self.width,
                     self.height, out_res, supersample=self.supersample,
@@ -292,21 +270,12 @@ class BratsRenderer:
         (the per-frame window hint switches between them as the footprint
         changes mid-orbit — each must already be compiled or the orbit
         stalls on the first pose that needs it)."""
-        import math
+        from mri_raytracer_tpu.ops import shearwarp
 
-        from mri_raytracer_tpu.render.camera import OrbitalCamera
-
-        wins = (None,)
-        if self.backend == "sweep_pallas" and jax.default_backend() == "tpu":
-            from mri_raytracer_tpu.ops.pallas_warp import WINDOW_LADDER
-
-            wins = WINDOW_LADDER
-        for theta, phi in ((0.0, math.pi / 2), (math.pi / 2, math.pi / 2),
-                           (0.0, 0.05)):
-            cam = OrbitalCamera(radius=2.0, theta=theta, phi=phi)
-            for win in wins:
-                out = self.render(cam.basis(), params, _warp_win=win)
-        jax.block_until_ready(out)
+        shearwarp.warmup_window_variants(
+            lambda basis, win: self.render(basis, params, _warp_win=win),
+            ladder=(self.backend == "sweep_pallas"
+                    and jax.default_backend() == "tpu"))
 
     def set_prediction(self, pred: Optional[np.ndarray]) -> None:
         """Upload an INR prediction volume (reference 'Load INR & Predict')."""

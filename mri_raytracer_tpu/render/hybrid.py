@@ -54,7 +54,7 @@ def _pool_any(mask: np.ndarray, f: int) -> np.ndarray:
                      m.shape[2] // f, f).any(axis=(1, 3, 5))
 
 
-def extract_boundary_mesh(mask: np.ndarray, vol_min=(-1.0, -1.0, -1.0),
+def extract_boundary_mesh(mask: np.ndarray, vol_min=None,
                           voxel_size: Optional[Tuple[float, float, float]]
                           = None, downsample: int = 1,
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -76,6 +76,12 @@ def extract_boundary_mesh(mask: np.ndarray, vol_min=(-1.0, -1.0, -1.0),
         # Default BraTS params box: the volume spans [-1, 1] on the largest
         # axis (render/params.default_render_params convention).
         voxel_size = tuple(2.0 / float(full_dims.max()) for _ in range(3))
+    if vol_min is None:
+        # CENTERED box, matching render_hybrid's bmin = -(dims*vs)/2: for a
+        # non-cubic volume the shorter axes span less than [-1, 1], so a
+        # fixed (-1,-1,-1) origin would displace the occluder mesh from the
+        # volume it bounds along every non-longest axis.
+        vol_min = -(full_dims * np.asarray(voxel_size, np.float32)) / 2.0
     vol_min = np.asarray(vol_min, np.float32)
     vs = np.asarray(voxel_size, np.float32) * downsample
     m = _pool_any(mask, downsample)

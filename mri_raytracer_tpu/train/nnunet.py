@@ -187,8 +187,12 @@ def run_pipeline(case_dirs: Sequence[pathlib.Path], work_dir,
                           dataset_id=dataset_id, dataset_name=dataset_name)
     plans = plan_and_preprocess(dataset_id, num_processes=num_processes,
                                 configurations=(configuration,))
-    run_training(dataset_name, configuration, fold, trainer=trainer,
-                 plans_identifier=plans, device=device)
+    # nnunetv2's get_trainer_from_args accepts an int-string or a full
+    # 'DatasetXXX_Name' — the bare suffix raises ValueError. The reference
+    # passes the full name (nnunet_train_export.py:78,341).
+    run_training(f"Dataset{dataset_id:03d}_{dataset_name}", configuration,
+                 fold, trainer=trainer, plans_identifier=plans,
+                 device=device)
     out_zip = (pathlib.Path(work_dir)
                / f"{dataset_name}_{configuration}_fold{fold}.zip")
     export_model(dataset_id, out_zip, configuration=configuration,

@@ -97,8 +97,20 @@ def frame_flops(stats: Dict, width: int, height: int,
 
     from mri_raytracer_tpu.ops.pallas_warp import PIX, TILE_I, TILE_J
 
+    # The kernel clamps its window to the intermediate plane
+    # (warp_pallas_exec: min(win, O)); charging the unclamped ladder window
+    # would overstate the warp stage whenever out_res < window. And when
+    # the Pallas warp cannot run at all (plane/tile alignment — the same
+    # gates as shearwarp.warp_to_screen), the gather fallback executes
+    # ZERO MXU warp matmuls. Remaining inexactness: a pose whose footprint
+    # fails the device-side fit check also takes the gather fallback,
+    # which host-side accounting cannot see (bench poses all fit by
+    # ladder construction).
     wi, wj = stats["warp_win"]
-    n_tiles = (height // TILE_I) * (width // TILE_J)
+    wi, wj = min(wi, O), min(wj, O)
+    pallas_warp_ok = (O % 128 == 0 and height % TILE_I == 0
+                      and width % TILE_J == 0)
+    n_tiles = (height // TILE_I) * (width // TILE_J) if pallas_warp_ok else 0
     warp = n_tiles * 3.0 * (2.0 * wi * wj * PIX + 2.0 * wi * PIX)
 
     return {
@@ -107,6 +119,7 @@ def frame_flops(stats: Dict, width: int, height: int,
         "flops_warp": warp,
         "flops_total": stage1 + stage2 + warp,
         "stage2_exact": executed_planes is not None,
+        "warp_mxu": pallas_warp_ok,
         "steps_per_ray_max": float(K),
         "steps_per_ray_eff": steps_eff,
     }

@@ -86,3 +86,44 @@ def test_empty_mask_renders():
                        height=64, max_steps=64)
     img = r.render_numpy(OrbitalCamera(radius=3.0).basis())
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_boundary_mesh_noncubic_matches_volume_box():
+    """The mesh's default world mapping must use the CENTERED box of
+    render_hybrid (bmin = -(dims*vs)/2) — a fixed (-1,-1,-1) origin
+    displaces the occluder along every non-longest axis of a non-cubic
+    volume (e.g. a real 240x240x155 BraTS case)."""
+    shape = (12, 12, 8)
+    mask = np.ones(shape, bool)
+    verts, _ = extract_boundary_mesh(mask)
+    dims = np.array(shape, np.float32)
+    vs = 2.0 / dims.max()
+    bmin = -(dims * vs) / 2.0
+    bmax = (dims * vs) / 2.0
+    np.testing.assert_allclose(verts.min(0), bmin, atol=1e-6)
+    np.testing.assert_allclose(verts.max(0), bmax, atol=1e-6)
+
+
+def test_hybrid_shadow_noncubic_volume():
+    """End-to-end on a non-cubic volume: the occluder must darken the far
+    side exactly as in the cubic test (regression for the mesh/volume box
+    mismatch)."""
+    n, nz = 48, 36
+    idx = np.indices((n, n, nz)).astype(np.float32)
+    c = np.array([(n - 1) / 2, (n - 1) / 2, (nz - 1) / 2],
+                 np.float32)[:, None, None, None]
+    r = np.sqrt(((idx - c) ** 2).sum(0))
+    vol = np.clip(1.0 - r / (0.42 * n), 0.0, 1.0).astype(np.float32)
+    mask = np.zeros(vol.shape, bool)
+    q = n // 4
+    mask[n // 2 - q: n // 2 + q, n // 2 - q: n // 2 + q,
+         nz // 2 - q // 2: nz // 2 + q // 2] = True
+    rend = HybridRenderer(vol, mask, width=64, height=64)
+    cam = OrbitalCamera(radius=2.6, theta=0.7, phi=1.1)
+    img_sh = np.asarray(rend.render(cam.basis(), shadows=True))
+    img_ns = np.asarray(rend.render(cam.basis(), shadows=False))
+    assert np.isfinite(img_sh).all() and np.isfinite(img_ns).all()
+    # Shadows only ever remove light, and must remove a measurable amount
+    # somewhere (the mask occludes part of the ball from the light).
+    assert img_sh.mean() < img_ns.mean() - 1e-4
+    assert (img_ns - img_sh).max() > 0.01

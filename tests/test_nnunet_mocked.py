@@ -111,9 +111,11 @@ def test_pipeline_drives_reference_api(fake_nnunet, tmp_path, monkeypatch):
     assert kw == {"plans_identifier": "nnUNetPlans",
                   "configurations": ("3d_fullres",),
                   "num_processes": (4,), "verbose": False}
-    # train (reference :355-368): STRING dataset arg, full kwarg surface
+    # train (reference :355-368): STRING dataset arg — the FULL
+    # 'DatasetXXX_Name' (reference :78,341; nnunetv2's
+    # get_trainer_from_args rejects a bare suffix with ValueError)
     (ds, cfg, fold), kw = calls["train"]
-    assert ds == "BraTS2023" and isinstance(ds, str)
+    assert ds == "Dataset501_BraTS2023" and isinstance(ds, str)
     assert cfg == "3d_fullres" and fold == 0
     expect = {"trainer_class_name": "nnUNetTrainer",
               "plans_identifier": "nnUNetPlans", "num_gpus": 1,
