@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-5 TPU queue, part C: after part B drains, re-run the mode-2
-# final-image PSNR cert (it was preempted by the grant-wedge recovery).
+# Round-5 TPU queue, part C: after part B drains — mode-2 final-image
+# PSNR cert (preempted by the grant-wedge recovery) + the overlay-ladder
+# G row (seg+pred) for RESULTS_r5.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
@@ -17,4 +18,5 @@ run() {
   echo "=== [$name] exit $? $(date -Is)" >> "$LOG"
 }
 run 3600 neural_cert python scripts/neural_psnr_cert.py
+run 2400 overlay_cost python scripts/diag_overlay_cost.py
 echo "[r5c-queue] ALL DONE $(date -Is)" >> "$LOG"
