@@ -264,3 +264,27 @@ def test_warp_window_hint_fits_device(theta, phi):
                                        jnp.asarray(j_map, jnp.float32),
                                        out_res, H, W, win=win)
     assert bool(fits), (win, theta, phi, axis)
+
+
+def test_crop_out_res_rule():
+    """The shared crop->intermediate-resolution rule (ops/shearwarp
+    crop_out_res) used by BOTH the production and the fused neural
+    renderer: uncropped passthrough, 128 round-up/floor, never above the
+    base resolution."""
+    from mri_raytracer_tpu.ops.shearwarp import crop_out_res
+
+    dims = (256, 200, 180)
+    # Uncropped in-plane -> base res, flag False (k-crop alone is a slab).
+    o, f = crop_out_res(1024, ((16, 240), (0, 200), (0, 180)), dims)
+    assert (o, f) == (1024, False)
+    # Half-content crop: 0.5 * 1024 = 512, already a 128 multiple.
+    o, f = crop_out_res(1024, ((0, 256), (50, 150), (45, 135)), dims)
+    assert (o, f) == (512, True)
+    # Round UP to 128 (sampling density only ever raised).
+    o, f = crop_out_res(1024, ((0, 256), (0, 110), (0, 99)), dims)
+    assert f and o == 640 and o % 128 == 0  # ceil(0.55*1024 / 128)*128
+    # Floor at 128, cap at base.
+    o, _ = crop_out_res(1024, ((0, 256), (0, 8), (0, 8)), dims)
+    assert o == 128
+    o, _ = crop_out_res(256, ((0, 256), (0, 199), (0, 179)), dims)
+    assert o == 256
