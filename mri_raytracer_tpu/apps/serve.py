@@ -9,6 +9,10 @@ camera vector, exactly like the interactive loop) and a lock serializes
 device access across server threads.
 
 Endpoints:
+  GET /                              -> interactive HTML viewer (drag to
+      orbit, wheel to zoom, window/level/alpha sliders, overlay toggles —
+      the browser analog of the reference's desktop viewer UI,
+      ``brats_viewer.py:369-466``)
   GET /info                          -> JSON (volume shape, backend, size)
   GET /frame?theta=&phi=&radius=...  -> image/png
       optional: ww, wl, alpha, seg=0|1, pred=0|1, gamma
@@ -42,6 +46,7 @@ class RenderService:
                 "renderer": self.renderer.backend,
                 "width": self.renderer.width,
                 "height": self.renderer.height,
+                "radius": self.radius,
                 "has_seg": self.renderer.seg is not None,
                 "has_pred": self.renderer.pred is not None}
 
@@ -79,6 +84,59 @@ class RenderService:
         return buf.getvalue()
 
 
+# Browser viewer: one self-contained page, no dependencies. Drag = orbit,
+# wheel = zoom, sliders = window/level/alpha, checkboxes = overlays. Frames
+# are plain /frame requests, serialized client-side (at most one in flight,
+# latest camera wins) to match the server's device lock.
+_VIEWER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>mri_raytracer_tpu</title><style>
+body{margin:0;background:#111;color:#ccc;font:13px sans-serif;display:flex}
+#side{padding:14px;width:230px}#side label{display:block;margin:10px 0 2px}
+#side input[type=range]{width:100%}#img{flex:1;min-height:100vh;
+object-fit:contain;cursor:grab;background:#000}#stat{margin-top:14px;
+color:#777;white-space:pre-line}</style></head><body>
+<div id="side"><b>mri_raytracer_tpu</b>
+<label>window width <span id="wwv"></span></label>
+<input type="range" id="ww" min="0.05" max="2" step="0.01" value="1">
+<label>window level <span id="wlv"></span></label>
+<input type="range" id="wl" min="0" max="1.5" step="0.01" value="0.5">
+<label>alpha <span id="alv"></span></label>
+<input type="range" id="alpha" min="1" max="60" step="0.5" value="18">
+<label><input type="checkbox" id="seg" checked> GT segmentation</label>
+<label><input type="checkbox" id="pred"> INR prediction</label>
+<div id="stat"></div></div>
+<img id="img" draggable="false">
+<script>
+const img=document.getElementById('img'),stat=document.getElementById('stat');
+let th=0.6,ph=1.2,rad=null,busy=false,queued=false,t0=0;
+const q=id=>document.getElementById(id);
+function url(){const p=new URLSearchParams({theta:th,phi:ph,
+ ww:q('ww').value,wl:q('wl').value,alpha:q('alpha').value,
+ seg:q('seg').checked?1:0,pred:q('pred').checked?1:0});
+ if(rad!==null)p.set('radius',rad);return '/frame?'+p;}
+function refresh(){if(busy){queued=true;return}busy=true;t0=performance.now();
+ const u=url();const pre=new Image();
+ pre.onload=()=>{img.src=pre.src;busy=false;
+  stat.textContent=`theta ${th.toFixed(2)} phi ${ph.toFixed(2)}\\n`+
+   `${(performance.now()-t0).toFixed(0)} ms/frame`;
+  q('wwv').textContent=q('ww').value;q('wlv').textContent=q('wl').value;
+  q('alv').textContent=q('alpha').value;
+  if(queued){queued=false;refresh()}};
+ pre.onerror=()=>{busy=false};pre.src=u;}
+let drag=null;
+img.onpointerdown=e=>{drag=[e.clientX,e.clientY];img.setPointerCapture(e.pointerId)};
+img.onpointermove=e=>{if(!drag)return;th+=(e.clientX-drag[0])*.008;
+ ph=Math.min(Math.PI-.05,Math.max(.05,ph-(e.clientY-drag[1])*.008));
+ drag=[e.clientX,e.clientY];refresh()};
+img.onpointerup=()=>{drag=null};
+img.onwheel=e=>{e.preventDefault();
+ fetch('/info').then(r=>r.json()).then(i=>{if(rad===null)rad=i.radius||2.6;
+  rad=Math.min(8,Math.max(.8,rad*(e.deltaY>0?1.08:0.93)));refresh()})};
+for(const id of['ww','wl','alpha','seg','pred'])q(id).oninput=refresh;
+fetch('/info').then(r=>r.json()).then(i=>{rad=i.radius||2.6;refresh()});
+</script></body></html>"""
+
+
 def make_server(service: RenderService, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
@@ -88,7 +146,10 @@ def make_server(service: RenderService, host: str = "127.0.0.1",
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
             try:
-                if parsed.path == "/info":
+                if parsed.path in ("/", "/index.html"):
+                    body = _VIEWER_HTML.encode()
+                    ctype = "text/html; charset=utf-8"
+                elif parsed.path == "/info":
                     body = json.dumps(service.info()).encode()
                     ctype = "application/json"
                 elif parsed.path == "/frame":

@@ -158,6 +158,10 @@ def test_render_http_service():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         info = json.loads(urllib.request.urlopen(f"{base}/info").read())
         assert info["width"] == 64 and info["has_seg"]
+        assert info["radius"] > 0
+        # The interactive browser viewer ships at / and drives /frame.
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "<html" in page and "/frame?" in page and "theta" in page
 
         def frame(q):
             data = urllib.request.urlopen(f"{base}/frame?{q}").read()
