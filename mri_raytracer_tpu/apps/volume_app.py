@@ -20,6 +20,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "180,216,180)")
     ap.add_argument("--nii", help="NIfTI volume (alternative source)")
     ap.add_argument("--mode", default="occupancy", choices=["occupancy", "labels"])
+    ap.add_argument("--render-mode", default="composite",
+                    choices=["composite", "mip", "iso"],
+                    help="composite (reference accumulation), mip "
+                    "(maximum-intensity projection), or iso "
+                    "(Phong-shaded iso-surface)")
+    ap.add_argument("--iso", type=float, default=0.25,
+                    help="iso mode: surface threshold in [0, 1]")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
@@ -54,7 +61,8 @@ def main(argv=None) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     meter = FPSMeter()
     for i in range(args.frames):
-        img = r.render(cam.basis(), step_count=args.steps)
+        img = r.render(cam.basis(), step_count=args.steps,
+                       mode=args.render_mode, iso=args.iso)
         sync(img)
         meter.tick()
         arr = np.clip(np.asarray(img), 0, 1)

@@ -52,10 +52,24 @@ class GridVolumeRenderer:
         self.width, self.height = width, height
 
     def render(self, basis: CameraBasis, step_count: float = 64.0,
-               near: float = 1.0, far: float = 7.0) -> jnp.ndarray:
+               near: float = 1.0, far: float = 7.0, mode: str = "composite",
+               iso: float = 0.25) -> jnp.ndarray:
+        """``mode``: 'composite' (reference volume_render.slang
+        accumulation), 'mip' (maximum-intensity projection), or 'iso'
+        (first-crossing iso-surface at ``iso`` with gradient Phong
+        shading)."""
         p = raymarch_xla.GridRenderParams(
             step_count=jnp.float32(step_count), near=jnp.float32(near),
             far=jnp.float32(far))
+        if mode == "mip":
+            return raymarch_xla.render_grid_mip(self.vol, basis, p,
+                                                self.width, self.height,
+                                                max_steps=int(step_count))
+        if mode == "iso":
+            return raymarch_xla.render_grid_iso(self.vol, basis, p,
+                                                self.width, self.height,
+                                                max_steps=int(step_count),
+                                                iso=iso)
         return raymarch_xla.render_grid_u8(self.vol, basis, p,
                                            self.width, self.height,
                                            max_steps=int(step_count))

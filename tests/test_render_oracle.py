@@ -95,3 +95,65 @@ def test_grid_u8_renderer():
     assert np.isfinite(img).all()
     assert 0.0 <= img.min() and img.max() <= 1.0 + 1e-5
     assert img[H // 2, W // 2, 0] > 0.05  # density visible in the middle
+
+
+def test_grid_mip_renderer():
+    """MIP == max of trilinear samples along the ray: >= any single
+    composite sample's contribution at the same pose, monotone in the
+    volume, and exactly the center-voxel value for a single bright voxel
+    through the center pixel."""
+    vol = synthetic.synthetic_u8_volume((24, 24, 24), seed=2)
+    cam = OrbitalCamera(radius=3.0)
+    p = rx.GridRenderParams(step_count=jnp.float32(96),
+                            near=jnp.float32(1.0), far=jnp.float32(6.0))
+    img = np.asarray(rx.render_grid_mip(jnp.asarray(vol), cam.basis(), p,
+                                        W, H, 128))
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0 + 1e-5
+    # A single saturated voxel at the cube center: a fine march's MIP at
+    # the center pixel must recover most of the peak (the trilinear
+    # support is ~2 voxels, so the capture depends on step density — at
+    # 1024 steps over the 5-unit span the step is ~1/17 voxel), and the
+    # corners must stay black.
+    vol1 = np.zeros((25, 25, 25), np.uint8)
+    vol1[12, 12, 12] = 255
+    p_fine = p._replace(step_count=jnp.float32(1024))
+    img1 = np.asarray(rx.render_grid_mip(jnp.asarray(vol1), cam.basis(),
+                                         p_fine, W, H, 1024))
+    # The nearest ray passes up to half a pixel off the voxel center, so
+    # the trilinear peak along it lands well below 1.0; assert the bright
+    # spot exists, sits at the image center, and the field is black away
+    # from it.
+    iy, ix = np.unravel_index(img1[..., 0].argmax(), (H, W))
+    assert img1[iy, ix, 0] > 0.3
+    assert abs(iy - H // 2) <= 1 and abs(ix - W // 2) <= 1
+    assert img1[0, 0, 0] < 1e-3
+    # Monotonicity: brighter volume -> pointwise >= MIP.
+    imgb = np.asarray(rx.render_grid_mip(
+        jnp.asarray(np.minimum(vol.astype(np.int32) * 2, 255)
+                    .astype(np.uint8)), cam.basis(), p, W, H, 128))
+    assert (imgb + 1e-6 >= img).all()
+
+
+def test_grid_iso_renderer():
+    """Iso mode: a solid ball shows a lit surface (nonzero interior,
+    black background, shading variation across the disk), and raising the
+    threshold above the data yields an empty image."""
+    n = 24
+    idx = np.indices((n, n, n)).astype(np.float32)
+    c = (n - 1) / 2.0
+    r = np.sqrt(((idx - c) ** 2).sum(0))
+    vol = (255 * (r < n * 0.35)).astype(np.uint8)
+    cam = OrbitalCamera(radius=3.0)
+    p = rx.GridRenderParams(step_count=jnp.float32(128),
+                            near=jnp.float32(1.0), far=jnp.float32(6.0))
+    img = np.asarray(rx.render_grid_iso(jnp.asarray(vol), cam.basis(), p,
+                                        W, H, 160, iso=0.5))
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    assert img[H // 2, W // 2, 0] > 0.05      # lit surface at the center
+    assert img[0, 0, 0] == 0.0                # background black
+    disk = img[..., 0][img[..., 0] > 0]
+    assert disk.std() > 0.02                  # Phong shading varies
+    empty = np.asarray(rx.render_grid_iso(jnp.asarray(vol), cam.basis(), p,
+                                          W, H, 160, iso=1.5))
+    assert float(empty.max()) == 0.0
