@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ww", type=float, default=1.0)
     ap.add_argument("--wl", type=float, default=0.5)
     ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--preset", default=None,
+                    help="named transfer-function preset "
+                    "(render/presets.py) applied AFTER the explicit "
+                    "ww/wl/alpha/gamma/modality flags")
     ap.add_argument("--modalities", default="1,1,1,1",
                     help="enable flags for t1n,t1c,t2w,t2f")
     ap.add_argument("--weights", default="1,1,1,1")
@@ -112,6 +116,10 @@ def main(argv=None) -> int:
         vol_enabled=enabled, vol_weight=weights, ww=args.ww, wl=args.wl,
         intensity_alpha=args.alpha, gamma=args.gamma, near=args.near,
         far=args.far)
+    if args.preset:
+        from mri_raytracer_tpu.render.presets import apply_preset
+
+        p = apply_preset(p, args.preset)
     cam = OrbitalCamera(radius=rp.default_camera_radius(p, shape),
                         theta=args.theta0, phi=args.phi0,
                         fov_y=math.radians(args.fov))

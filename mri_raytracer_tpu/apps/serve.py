@@ -59,6 +59,10 @@ class RenderService:
             return float(q.get(name, [default])[0])
 
         p = self.base_params
+        if "preset" in q:
+            from mri_raytracer_tpu.render.presets import apply_preset
+
+            p = apply_preset(p, q["preset"][0])
         upd = {}
         if "ww" in q:
             upd["ww"] = np.float32(f("ww", 1.0))
@@ -96,6 +100,11 @@ body{margin:0;background:#111;color:#ccc;font:13px sans-serif;display:flex}
 object-fit:contain;cursor:grab;background:#000}#stat{margin-top:14px;
 color:#777;white-space:pre-line}</style></head><body>
 <div id="side"><b>mri_raytracer_tpu</b>
+<label>preset</label><select id="preset"><option value="">custom</option>
+<option>default</option><option>t1-anatomy</option>
+<option>t1c-enhancing</option><option>t2-fluid</option>
+<option>flair-lesion</option><option>xray</option><option>dense</option>
+</select>
 <label>window width <span id="wwv"></span></label>
 <input type="range" id="ww" min="0.05" max="2" step="0.01" value="1">
 <label>window level <span id="wlv"></span></label>
@@ -110,9 +119,11 @@ color:#777;white-space:pre-line}</style></head><body>
 const img=document.getElementById('img'),stat=document.getElementById('stat');
 let th=0.6,ph=1.2,rad=null,busy=false,queued=false,t0=0;
 const q=id=>document.getElementById(id);
-function url(){const p=new URLSearchParams({theta:th,phi:ph,
- ww:q('ww').value,wl:q('wl').value,alpha:q('alpha').value,
- seg:q('seg').checked?1:0,pred:q('pred').checked?1:0});
+function url(){const pre=q('preset').value;
+ const p=new URLSearchParams({theta:th,phi:ph,
+  seg:q('seg').checked?1:0,pred:q('pred').checked?1:0});
+ if(pre){p.set('preset',pre)}else{p.set('ww',q('ww').value);
+  p.set('wl',q('wl').value);p.set('alpha',q('alpha').value)}
  if(rad!==null)p.set('radius',rad);return '/frame?'+p;}
 function refresh(){if(busy){queued=true;return}busy=true;t0=performance.now();
  const u=url();const pre=new Image();
@@ -132,7 +143,8 @@ img.onpointerup=()=>{drag=null};
 img.onwheel=e=>{e.preventDefault();
  fetch('/info').then(r=>r.json()).then(i=>{if(rad===null)rad=i.radius||2.6;
   rad=Math.min(8,Math.max(.8,rad*(e.deltaY>0?1.08:0.93)));refresh()})};
-for(const id of['ww','wl','alpha','seg','pred'])q(id).oninput=refresh;
+for(const id of['ww','wl','alpha','seg','pred','preset'])q(id).oninput=refresh;
+for(const id of['ww','wl','alpha'])q(id).onpointerdown=()=>{q('preset').value=''};
 fetch('/info').then(r=>r.json()).then(i=>{rad=i.radius||2.6;refresh()});
 </script></body></html>"""
 

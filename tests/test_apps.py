@@ -173,5 +173,35 @@ def test_render_http_service():
         assert not np.array_equal(a, b)  # camera args change the frame
         c = frame("theta=0.3&phi=1.2&ww=0.2&wl=0.9")
         assert not np.array_equal(a, c)  # transfer args change the frame
+        d = frame("theta=0.3&phi=1.2&preset=xray")
+        assert not np.array_equal(a, d)  # named preset changes the frame
     finally:
         srv.shutdown()
+
+
+def test_transfer_presets():
+    """Named transfer-function presets: every preset applies cleanly onto
+    default params (array leaves only, no recompilation triggers), the
+    modality one-hots select the intended volume, and an unknown name
+    raises with the available list."""
+    import numpy as np
+    import pytest
+
+    from mri_raytracer_tpu.render import params as rp
+    from mri_raytracer_tpu.render.presets import (PRESETS, apply_preset,
+                                                  preset_names)
+
+    base = rp.default_render_params((16, 16, 12))
+    for name in preset_names():
+        p = apply_preset(base, name)
+        assert p.vol_min is base.vol_min  # geometry untouched
+        assert p.lut is base.lut
+        for leaf in (p.ww, p.wl, p.intensity_alpha, p.gamma,
+                     p.vol_enabled, p.vol_weight):
+            assert np.asarray(leaf).dtype == np.float32
+    t1c = apply_preset(base, "t1c-enhancing")
+    assert list(np.asarray(t1c.vol_enabled)) == [0, 1, 0, 0]
+    assert float(t1c.gamma) > 1.0
+    with pytest.raises(KeyError, match="t1-anatomy"):
+        apply_preset(base, "nope")
+    assert set(PRESETS) == set(preset_names())
