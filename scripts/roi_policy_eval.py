@@ -57,6 +57,11 @@ def main(argv=None):
                     help="skip training: load this policy npz (+ its _lod "
                     "sibling if present) — resume support for flaky "
                     "device links")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse per-scene sweeps already checkpointed in "
+                    "the suite's results JSON (scene + heldout + verdict "
+                    "present) — skip straight to the first unmeasured "
+                    "scene after a tunnel/VM death")
     args = ap.parse_args(argv)
 
     import jax
@@ -163,6 +168,20 @@ def main(argv=None):
                "scenes": {}}
     verdicts = []
     results_f = out_dir / f"roi_results{suffix}.json"
+    prior = {}
+    if args.resume and results_f.exists():
+        try:
+            old = json.loads(results_f.read_text())
+            # Only trust a checkpoint produced at the same protocol scale.
+            if old.get("resolution") == [args.width, args.height]:
+                prior = old
+                done = [v["scene"] for v in old.get("verdicts", [])
+                        if v["scene"] in old.get("scenes", {})
+                        and v["scene"] + "-heldout" in old.get("scenes", {})]
+                print(f"[roi] resume: reusing measured scenes {done}")
+        except Exception as e:
+            print(f"[roi] resume: ignoring unreadable checkpoint ({e})",
+                  file=sys.stderr)
 
     def checkpoint_results():
         # Incremental persistence: a crash in a later stage (e.g. an OOM in
@@ -171,6 +190,19 @@ def main(argv=None):
         results_f.write_text(json.dumps(results, indent=1))
 
     for i, sc in enumerate(scenes):
+        pv = next((v for v in prior.get("verdicts", [])
+                   if v["scene"] == sc["name"]), None)
+        if (pv is not None and sc["name"] in prior.get("scenes", {})
+                and sc["name"] + "-heldout" in prior.get("scenes", {})):
+            results["scenes"][sc["name"]] = prior["scenes"][sc["name"]]
+            results["scenes"][sc["name"] + "-heldout"] = \
+                prior["scenes"][sc["name"] + "-heldout"]
+            verdicts.append(pv)
+            results["verdicts"] = verdicts
+            checkpoint_results()
+            print(f"[roi] {sc['name']}: resumed "
+                  f"(speedup={pv['speedup']:.2f}x success={pv['success']})")
+            continue
         vs = roi_protocol.make_orbit_views(sc["radius"],
                                            args.quality_frames)
         sweep = roi_protocol.pareto_sweep(
