@@ -141,11 +141,16 @@ def main() -> None:
     try:
         from mri_raytracer_tpu.utils import arith
 
-        cam_a = OrbitalCamera(radius=rp.default_camera_radius(p, VOL),
-                              theta=0.6, phi=1.2)
+        # Sample 5 poses spaced along the SAME orbit the timing loop walked
+        # (theta0 + 0.03k, phi0 + 0.01k for k in 0..BATCHES*ITERS after the
+        # warmup offset) so the FLOPs averaged here describe the frames the
+        # fps was measured on, not a different sweep.
+        n_timed = BATCHES * ITERS
         per_pose = []
-        for _ in range(5):
-            cam_a.orbit(0.45, 0.02)
+        for k in np.linspace(1, n_timed, 5):
+            cam_a = OrbitalCamera(radius=rp.default_camera_radius(p, VOL),
+                                  theta=0.6 + 0.03 * (WARMUP + k),
+                                  phi=1.2 + 0.01 * k)
             basis = cam_a.basis()
             stats = renderer.frame_stats(basis, p)
             counts = renderer.executed_planes(basis, p)

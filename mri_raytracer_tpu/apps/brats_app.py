@@ -32,14 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--near", type=float, default=0.0)
     ap.add_argument("--far", type=float, default=0.0)
     ap.add_argument("--step", type=float, default=0.05)
-    ap.add_argument("--alpha", type=float, default=0.4, help="intensity alpha")
-    ap.add_argument("--ww", type=float, default=1.0)
-    ap.add_argument("--wl", type=float, default=0.5)
-    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="intensity alpha (default 0.4)")
+    ap.add_argument("--ww", type=float, default=None)
+    ap.add_argument("--wl", type=float, default=None)
+    ap.add_argument("--gamma", type=float, default=None)
     ap.add_argument("--preset", default=None,
                     help="named transfer-function preset "
-                    "(render/presets.py) applied AFTER the explicit "
-                    "ww/wl/alpha/gamma/modality flags")
+                    "(render/presets.py); explicit ww/wl/alpha/gamma "
+                    "flags override the preset's values, matching the "
+                    "HTTP /frame endpoint's precedence")
     ap.add_argument("--modalities", default="1,1,1,1",
                     help="enable flags for t1n,t1c,t2w,t2f")
     ap.add_argument("--weights", default="1,1,1,1")
@@ -113,13 +115,19 @@ def main(argv=None) -> int:
     p = rp.default_render_params(
         shape, step_size=args.step, show_seg=args.show_seg,
         show_pred=pred is not None or args.neural_march,
-        vol_enabled=enabled, vol_weight=weights, ww=args.ww, wl=args.wl,
-        intensity_alpha=args.alpha, gamma=args.gamma, near=args.near,
+        vol_enabled=enabled, vol_weight=weights, near=args.near,
         far=args.far)
     if args.preset:
         from mri_raytracer_tpu.render.presets import apply_preset
 
         p = apply_preset(p, args.preset)
+    # Explicit flags override the preset (same precedence as /frame).
+    overrides = {k: np.float32(v) for k, v in
+                 (("ww", args.ww), ("wl", args.wl),
+                  ("intensity_alpha", args.alpha),
+                  ("gamma", args.gamma)) if v is not None}
+    if overrides:
+        p = p._replace(**overrides)
     cam = OrbitalCamera(radius=rp.default_camera_radius(p, shape),
                         theta=args.theta0, phi=args.phi0,
                         fov_y=math.radians(args.fov))

@@ -51,15 +51,11 @@ def main(argv=None) -> int:
     from mri_raytracer_tpu.utils.profiling import FPSMeter, sync
 
     if args.case:
-        import pathlib as _pl
-
-        mods, seg = brats.load_case(_pl.Path(args.case))
-        vol = np.stack([brats.percentile_normalize(m) for m in mods]).mean(0)
+        mods, seg = brats.load_case(pathlib.Path(args.case))
     else:
         shape = tuple(int(x) for x in args.shape.split(","))
         mods, seg = synthetic.synthetic_case(shape, seed=0)
-        vol = np.stack([brats.percentile_normalize(m)
-                        for m in mods]).mean(0)
+    vol = np.stack([brats.percentile_normalize(m) for m in mods]).mean(0)
     mask = np.asarray(seg) > 0
 
     light = tuple(float(x) for x in args.light.split(","))

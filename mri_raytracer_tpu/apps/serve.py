@@ -101,16 +101,14 @@ object-fit:contain;cursor:grab;background:#000}#stat{margin-top:14px;
 color:#777;white-space:pre-line}</style></head><body>
 <div id="side"><b>mri_raytracer_tpu</b>
 <label>preset</label><select id="preset"><option value="">custom</option>
-<option>default</option><option>t1-anatomy</option>
-<option>t1c-enhancing</option><option>t2-fluid</option>
-<option>flair-lesion</option><option>xray</option><option>dense</option>
+__PRESET_OPTIONS__
 </select>
 <label>window width <span id="wwv"></span></label>
 <input type="range" id="ww" min="0.05" max="2" step="0.01" value="1">
 <label>window level <span id="wlv"></span></label>
 <input type="range" id="wl" min="0" max="1.5" step="0.01" value="0.5">
 <label>alpha <span id="alv"></span></label>
-<input type="range" id="alpha" min="1" max="60" step="0.5" value="18">
+<input type="range" id="alpha" min="0.05" max="1.5" step="0.01" value="0.4">
 <label><input type="checkbox" id="seg" checked> GT segmentation</label>
 <label><input type="checkbox" id="pred"> INR prediction</label>
 <div id="stat"></div></div>
@@ -140,9 +138,8 @@ img.onpointermove=e=>{if(!drag)return;th+=(e.clientX-drag[0])*.008;
  ph=Math.min(Math.PI-.05,Math.max(.05,ph-(e.clientY-drag[1])*.008));
  drag=[e.clientX,e.clientY];refresh()};
 img.onpointerup=()=>{drag=null};
-img.onwheel=e=>{e.preventDefault();
- fetch('/info').then(r=>r.json()).then(i=>{if(rad===null)rad=i.radius||2.6;
-  rad=Math.min(8,Math.max(.8,rad*(e.deltaY>0?1.08:0.93)));refresh()})};
+img.onwheel=e=>{e.preventDefault();if(rad===null)rad=2.6;
+ rad=Math.min(8,Math.max(.8,rad*(e.deltaY>0?1.08:0.93)));refresh()};
 for(const id of['ww','wl','alpha','seg','pred','preset'])q(id).oninput=refresh;
 for(const id of['ww','wl','alpha'])q(id).onpointerdown=()=>{q('preset').value=''};
 fetch('/info').then(r=>r.json()).then(i=>{rad=i.radius||2.6;refresh()});
@@ -159,7 +156,11 @@ def make_server(service: RenderService, host: str = "127.0.0.1",
             parsed = urllib.parse.urlparse(self.path)
             try:
                 if parsed.path in ("/", "/index.html"):
-                    body = _VIEWER_HTML.encode()
+                    from mri_raytracer_tpu.render.presets import preset_names
+                    opts = "".join(f"<option>{n}</option>"
+                                   for n in preset_names())
+                    body = _VIEWER_HTML.replace("__PRESET_OPTIONS__",
+                                                opts).encode()
                     ctype = "text/html; charset=utf-8"
                 elif parsed.path == "/info":
                     body = json.dumps(service.info()).encode()

@@ -263,10 +263,14 @@ def render_grid_iso(vol_u8: jnp.ndarray, basis: CameraBasis,
         s, inside = _grid_sample(vol, dims1, pos)
         active = (i < p.step_count)
         cross = inside & active & ~found & (prev_s < iso_j) & (s >= iso_j)
-        # Linear refinement between the previous and current step.
+        # Linear refinement between the previous and current step. At i==0
+        # there IS no previous sample (prev_s is the 0 init): the segment
+        # start collapses to the near-plane point itself so the refined hit
+        # can never land in front of the configured near clip.
+        seg_start = jnp.where(i == 0, pos, pos - step_vec)
         frac = jnp.clip((iso_j - prev_s) / jnp.maximum(s - prev_s, 1e-6),
                         0.0, 1.0)
-        hit_new = pos - step_vec + frac[..., None] * step_vec
+        hit_new = seg_start + frac[..., None] * (pos - seg_start)
         return (found | cross,
                 jnp.where(cross[..., None], hit_new, hit),
                 jnp.where(active, s, prev_s), pos + step_vec)

@@ -155,8 +155,9 @@ class BratsRenderer:
         return {
             "axis": axis,
             "out_res": out_res,
-            # n_planes the kernel loops over = cropped k extent + 1
-            "planes": (k_hi - k_lo) + 1,
+            # n_planes the kernel loops over = cropped k extent x
+            # supersample + 1 (shearwarp.py: n_planes = Nk*supersample + 1)
+            "planes": (k_hi - k_lo) * self.supersample + 1,
             "crop_k": (k_lo, k_hi),
             "crop_a": (a_lo, a_hi),
             "crop_b": (b_lo, b_hi),

@@ -52,7 +52,11 @@ DEFAULT_PEAK = 197e12
 
 
 def peak_flops(device=None) -> float:
-    """bf16 peak for the given (default: first) jax device."""
+    """bf16 peak for the given (default: first) jax device.
+
+    An unrecognized ``device_kind`` falls back to ``DEFAULT_PEAK`` with a
+    warning — an MFU computed against the wrong peak (e.g. a future chip
+    generation) should be visibly flagged, not silently plausible."""
     if device is None:
         import jax
 
@@ -64,6 +68,12 @@ def peak_flops(device=None) -> float:
     for k, v in _PEAK_BF16.items():
         if kind.startswith(k):
             return v
+    import warnings
+
+    warnings.warn(f"arith.peak_flops: unknown device_kind {kind!r}; "
+                  f"falling back to {DEFAULT_PEAK / 1e12:.0f} TFLOP/s "
+                  "(v5e bf16) — MFU numbers will be wrong on this chip",
+                  stacklevel=2)
     return DEFAULT_PEAK
 
 

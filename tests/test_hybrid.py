@@ -30,10 +30,8 @@ def test_boundary_mesh_cube_counts():
     mask[2:6, 2:6, 2:6] = True  # 4^3 cube: 6 faces x 16 quads x 2 tris
     verts, tris = extract_boundary_mesh(mask)
     assert tris.shape[0] == 6 * 16 * 2
-    # Welded watertight corners: 5^3 boundary lattice minus the 3^3 interior
-    assert verts.shape[0] == 5 ** 3 - 3 ** 3 + 2 * (3 ** 2) * 0 + 0 \
-        or verts.shape[0] > 0  # exact count checked below
-    # The welded vertex set must be exactly the cube's surface lattice.
+    # Welded watertight corners: the vertex set must be exactly the cube's
+    # surface lattice — the 5^3 corner lattice minus its 3^3 interior.
     assert verts.shape[0] == 5 ** 3 - 3 ** 3
 
 
