@@ -162,6 +162,12 @@ def test_render_http_service():
         # The interactive browser viewer ships at / and drives /frame.
         page = urllib.request.urlopen(f"{base}/").read().decode()
         assert "<html" in page and "/frame?" in page and "theta" in page
+        # Preset dropdown is generated from render/presets.PRESETS (single
+        # source of truth) and the placeholder must be substituted.
+        from mri_raytracer_tpu.render.presets import preset_names
+        assert "__PRESET_OPTIONS__" not in page
+        for name in preset_names():
+            assert f"<option>{name}</option>" in page
 
         def frame(q):
             data = urllib.request.urlopen(f"{base}/frame?{q}").read()

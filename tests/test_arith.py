@@ -118,3 +118,10 @@ def test_renderer_frame_stats(scene):
     # Geometry must agree with what the render path uses (shared helper).
     img = r.render(cam.basis(), p)
     assert np.isfinite(np.asarray(img)).all()
+    # Supersampling multiplies the marched planes (n_planes = Nk*ss + 1):
+    # the accounting must charge for them (a ss=2 renderer was previously
+    # billed at ss=1 FLOPs).
+    r2 = BratsRenderer(disp, seg, None, width=128, height=128,
+                       supersample=2)
+    stats2 = r2.frame_stats(cam.basis(), p)
+    assert stats2["planes"] == (stats["planes"] - 1) * 2 + 1
