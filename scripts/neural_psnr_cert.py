@@ -167,6 +167,8 @@ def main(argv=None):
 
     results["overall_pass"] = overall_ok
     suffix = "_trained" if args.train_steps > 0 else ""
+    if args.pred_stride != 4:
+        suffix += f"_s{args.pred_stride}"
     out = _pl.Path(__file__).resolve().parents[1] / "docs" \
         / f"neural_psnr_cert{suffix}.json"
     out.write_text(json.dumps(results, indent=1))
